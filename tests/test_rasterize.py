@@ -1,0 +1,157 @@
+"""Rasterizer tests: tiled XLA renderer vs the naive oracle, gradients,
+capacity-overflow accounting, and basic visual sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_diffusiongs_tpu.ops import rasterize as rz
+from open_diffusiongs_tpu.ops import rasterize_ref as rz_ref
+from open_diffusiongs_tpu.ops.gaussians import Gaussians
+from utils3d import orbit_cameras, random_gaussians
+
+H = W = 64
+CFG = rz.RasterizeConfig(max_tiles_per_gaussian=32, max_per_tile=256,
+                         blend_chunk=32)
+
+
+def _scene(rng, b=2, n=400, v=3):
+    g = random_gaussians(rng, b, n)
+    c2ws, fxy = orbit_cameras(v, h=H, w=W)
+    c2w = jnp.asarray(np.broadcast_to(c2ws, (b,) + c2ws.shape))
+    fxy = jnp.asarray(np.broadcast_to(fxy, (b,) + fxy.shape))
+    return Gaussians(*(jnp.asarray(x) for x in g)), c2w, fxy
+
+
+def test_tiled_matches_naive(rng):
+    g, c2w, fxy = _scene(rng)
+    out_t = rz.render(g, c2w, fxy, H, W, cfg=CFG)
+    out_n = rz_ref.render_naive(g, c2w, fxy, H, W)
+    assert int(out_t["overflow_tiles"]) == 0
+    assert int(out_t["overflow_gaussians"]) == 0
+    np.testing.assert_allclose(np.asarray(out_t["render"]),
+                               np.asarray(out_n["render"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_t["alpha"]),
+                               np.asarray(out_n["alpha"]), atol=2e-5)
+
+
+def test_background_only():
+    g = Gaussians(
+        xyz=jnp.zeros((1, 2, 3)), features=jnp.zeros((1, 2, 1, 3)),
+        scaling=jnp.full((1, 2, 3), -3.0), rotation=jnp.tile(
+            jnp.asarray([1.0, 0, 0, 0]), (1, 2, 1)),
+        opacity=jnp.full((1, 2, 1), -100.0))  # sigmoid -> 0 opacity
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    out = rz.render(g, jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None], H, W,
+                    bg_color=(0.2, 0.4, 0.6), cfg=CFG)
+    img = np.asarray(out["render"])[0, 0]
+    np.testing.assert_allclose(img[0], 0.2, atol=1e-6)
+    np.testing.assert_allclose(img[1], 0.4, atol=1e-6)
+    np.testing.assert_allclose(img[2], 0.6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), 0.0, atol=1e-6)
+
+
+def test_opaque_center_gaussian():
+    # One big opaque white gaussian at origin -> center pixel saturates.
+    from open_diffusiongs_tpu.ops.gs_math import rgb_to_sh0
+    feat = np.asarray(rgb_to_sh0(jnp.asarray([1.0, 1.0, 1.0])))
+    g = Gaussians(
+        xyz=jnp.zeros((1, 1, 3)),
+        features=jnp.asarray(feat)[None, None, None, :],
+        scaling=jnp.full((1, 1, 3), np.log(0.3)),
+        rotation=jnp.asarray([1.0, 0, 0, 0])[None, None, :],
+        opacity=jnp.full((1, 1, 1), 20.0))  # sigmoid -> ~1
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    out = rz.render(g, jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None],
+                    H, W, bg_color=(0.0, 0.0, 0.0), cfg=CFG)
+    img = np.asarray(out["render"])[0, 0]
+    # alpha capped at 0.99, so center >= 0.99
+    assert img[:, H // 2, W // 2].min() > 0.98
+    assert np.asarray(out["alpha"])[0, 0, 0, H // 2, W // 2] > 0.98
+    # corners are background
+    assert img[:, 0, 0].max() < 0.05
+
+
+def test_depth_output_monotone(rng):
+    # Gaussian nearer to the camera produces smaller rendered depth.
+    g1 = Gaussians(
+        xyz=jnp.asarray([[[0.0, 0.0, -1.0]]]),  # closer to cam at -3z
+        features=jnp.zeros((1, 1, 1, 3)),
+        scaling=jnp.full((1, 1, 3), np.log(0.2)),
+        rotation=jnp.asarray([1.0, 0, 0, 0])[None, None, :],
+        opacity=jnp.full((1, 1, 1), 20.0))
+    g2 = g1._replace(xyz=jnp.asarray([[[0.0, 0.0, 1.0]]]))
+    from utils3d import look_at
+    c2w = jnp.asarray(look_at((0, 0, -3.0)))[None, None]
+    fxy = jnp.asarray([[[80.0, 80.0, W / 2, H / 2]]])
+    d1 = np.asarray(rz.render(g1, c2w, fxy, H, W, cfg=CFG)["depth"])[
+        0, 0, 0, H // 2, W // 2]
+    d2 = np.asarray(rz.render(g2, c2w, fxy, H, W, cfg=CFG)["depth"])[
+        0, 0, 0, H // 2, W // 2]
+    assert 0 < d1 < d2
+
+
+def test_overflow_counters(rng):
+    # Giant gaussian covering the full image with tiny D -> overflow_tiles > 0
+    g = Gaussians(
+        xyz=jnp.zeros((1, 1, 3)), features=jnp.zeros((1, 1, 1, 3)),
+        scaling=jnp.full((1, 1, 3), np.log(1.5)),
+        rotation=jnp.asarray([1.0, 0, 0, 0])[None, None, :],
+        opacity=jnp.full((1, 1, 1), 2.0))
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    cfg = rz.RasterizeConfig(max_tiles_per_gaussian=2, max_per_tile=32,
+                             blend_chunk=32)
+    out = rz.render(g, jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None], H, W,
+                    cfg=cfg)
+    assert int(out["overflow_tiles"]) > 0
+
+
+def test_gradients_flow_and_match_naive(rng):
+    g, c2w, fxy = _scene(rng, b=1, n=60, v=1)
+    target = jnp.asarray(rng.uniform(size=(1, 1, 3, H, W)).astype(np.float32))
+
+    def loss_tiled(gs):
+        out = rz.render(gs, c2w, fxy, H, W, cfg=CFG)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    def loss_naive(gs):
+        out = rz_ref.render_naive(gs, c2w, fxy, H, W)
+        return jnp.mean((out["render"] - target) ** 2)
+
+    gt = jax.grad(loss_tiled)(g)
+    gn = jax.grad(loss_naive)(g)
+    for a, b, name in zip(gt, gn, g._fields):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                   err_msg=name)
+    # and gradients are not trivially zero
+    assert np.abs(np.asarray(gt.xyz)).max() > 0
+
+
+def test_numeric_gradcheck_tiny():
+    # Finite-difference check of the tiled renderer on a 2-gaussian scene.
+    # Restricted to the *smooth* parameters (SH features, opacity): gradients
+    # w.r.t. xyz/scale cross genuine discontinuities of the algorithm (tile
+    # rects, the 1/255 and 1e-4 cutoffs) which finite differences cannot
+    # handle — those are instead validated against the independent naive
+    # implementation in test_gradients_flow_and_match_naive.
+    from utils3d import look_at
+    rng = np.random.default_rng(3)
+    g = random_gaussians(rng, 1, 2, scale_mean=-1.5)
+    g = Gaussians(*(jnp.asarray(x) for x in g))
+    c2w = jnp.asarray(look_at((0, 0.5, -3.0)))[None, None]
+    fxy = jnp.asarray([[[40.0, 40.0, 16.0, 16.0]]])
+    cfg = rz.RasterizeConfig(max_tiles_per_gaussian=8, max_per_tile=32,
+                             blend_chunk=32)
+
+    def f(features, opacity):
+        out = rz.render(g._replace(features=features, opacity=opacity),
+                        c2w, fxy, 32, 32, cfg=cfg)
+        return jnp.sum(out["render"] ** 2)
+
+    from jax.test_util import check_grads
+    check_grads(f, (g.features, g.opacity), order=1, modes=["rev"],
+                atol=2e-2, rtol=2e-2)
