@@ -1,4 +1,4 @@
-"""Model components: DiT transformer stack, object & scene denoisers."""
+"""Model components: DiT transformer stack and the unified DGS denoiser
+(object + scene variants via `ray_pe_type`)."""
 
 from . import denoiser  # noqa: F401
-from . import denoiser_scene  # noqa: F401

@@ -1,0 +1,128 @@
+"""Denoiser (DiT) tests: shapes, pixel alignment, adaLN conditioning,
+scene-variant depth head, remat equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_diffusiongs_tpu.models.denoiser import DGSDenoiser
+from open_diffusiongs_tpu.ops.rays import rays_chw
+from utils3d import orbit_cameras
+
+B, V, H, W = 2, 2, 16, 16
+P = 8
+
+
+def _inputs(rng, v=V, h=H, w=W):
+    c2ws, fxy = orbit_cameras(v, h=h, w=w)
+    c2w = jnp.asarray(np.broadcast_to(c2ws, (B,) + c2ws.shape))
+    fxy = jnp.asarray(np.broadcast_to(fxy, (B,) + fxy.shape))
+    ray_o, ray_d = rays_chw(c2w, fxy, h, w)
+    images = jnp.asarray(rng.uniform(size=(B, v, 3, h, w)).astype(np.float32))
+    t = jnp.asarray([5, 100])
+    return images, ray_o, ray_d, t
+
+
+def _model(**kw):
+    kwargs = dict(width=64, patch_size=P, n_gaussians=2, dim_heads=32,
+                  num_layers=2, remat=False)
+    kwargs.update(kw)
+    return DGSDenoiser(**kwargs)
+
+
+def test_output_shapes_and_pixel_alignment(rng):
+    model = _model()
+    images, ray_o, ray_d, t = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+    g, pix_xyz = model.apply(params, images, ray_o, ray_d, t)
+    n = 2 + V * H * W
+    assert g.xyz.shape == (B, n, 3)
+    assert g.features.shape == (B, n, 1, 3)
+    assert g.scaling.shape == (B, n, 3)
+    assert g.rotation.shape == (B, n, 4)
+    assert g.opacity.shape == (B, n, 1)
+    # activation ranges from to_gs (denoiser.py:118-119)
+    assert float(jnp.max(g.scaling)) <= -1.2
+    # pixel-aligned gaussians sit on their rays: (xyz - ray_o) x ray_d = 0
+    ro = np.asarray(ray_o).transpose(0, 1, 3, 4, 2).reshape(B, -1, 3)
+    rd = np.asarray(ray_d).transpose(0, 1, 3, 4, 2).reshape(B, -1, 3)
+    # token order is (v, hh, ww, ph, pw); rebuild the same order for rays
+    def tokorder(x):
+        x = x.reshape(B, V, 3, H // P, P, W // P, P)
+        return x.transpose(0, 1, 3, 5, 4, 6, 2).reshape(B, -1, 3)
+    ro = tokorder(np.asarray(ray_o))
+    rd = tokorder(np.asarray(ray_d))
+    pix = np.asarray(g.xyz)[:, 2:]
+    cross = np.cross(pix - ro, rd)
+    assert np.abs(cross).max() < 2e-4
+
+
+def test_object_depth_range(rng):
+    # object head: depth in o_dot_d +- 1.8
+    model = _model()
+    images, ray_o, ray_d, t = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+    g, pix_xyz = model.apply(params, images, ray_o, ray_d, t)
+    o_dot_d = np.sum(-np.asarray(ray_o) * np.asarray(ray_d), axis=2)
+    depth = np.einsum("bvchw,bvchw->bvhw",
+                      np.asarray(pix_xyz) - np.asarray(ray_o),
+                      np.asarray(ray_d))
+    assert np.all(depth > o_dot_d - 1.8 - 1e-4)
+    assert np.all(depth < o_dot_d + 1.8 + 1e-4)
+
+
+def test_scene_variant_depth_range(rng):
+    model = _model(ray_pe_type="plk", range_setting_near=0.0,
+                   range_setting_far=500.0, clip_xyz=False)
+    images, ray_o, ray_d, t = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+    g, pix_xyz = model.apply(params, images, ray_o, ray_d, t)
+    depth = np.einsum("bvchw,bvchw->bvhw",
+                      np.asarray(pix_xyz) - np.asarray(ray_o),
+                      np.asarray(ray_d))
+    assert np.all(depth >= 0.0) and np.all(depth <= 500.0)
+
+
+def test_training_clip(rng):
+    model = _model()
+    images, ray_o, ray_d, t = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+    g, _ = model.apply(params, images, ray_o, ray_d, t, training=True)
+    pix = np.asarray(g.xyz)[:, 2:]
+    assert pix.min() >= -1.0 - 1e-6 and pix.max() <= 1.0 + 1e-6
+
+
+def test_timestep_conditioning_changes_output(rng):
+    model = _model()
+    images, ray_o, ray_d, _ = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), images, ray_o, ray_d,
+                        jnp.asarray([0, 0]))
+    g1, _ = model.apply(params, images, ray_o, ray_d, jnp.asarray([0, 0]))
+    g2, _ = model.apply(params, images, ray_o, ray_d, jnp.asarray([900, 900]))
+    assert np.abs(np.asarray(g1.opacity) - np.asarray(g2.opacity)).max() > 1e-6
+
+
+def test_remat_matches_norremat(rng):
+    images, ray_o, ray_d, t = _inputs(rng)
+    m1 = _model(remat=False)
+    m2 = _model(remat=True)
+    params = m1.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+    g1, _ = m1.apply(params, images, ray_o, ray_d, t)
+    g2, _ = m2.apply(params, images, ray_o, ray_d, t)
+    np.testing.assert_allclose(np.asarray(g1.xyz), np.asarray(g2.xyz),
+                               atol=1e-6)
+
+
+def test_param_count_full_size():
+    # Full-size object config: sanity-check parameter count ~ 24-layer DiT.
+    model = DGSDenoiser(remat=False)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, 3, 64, 64)), jnp.zeros((1, 1, 3, 64, 64)),
+            jnp.zeros((1, 1, 3, 64, 64)), jnp.zeros((1,), jnp.int32)))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(shapes))
+    # 24 layers x (qkv 3d^2 + proj d^2 + mlp 8d^2 + adaLN 6d^2) ~= 18d^2 x 24
+    assert 400e6 < n_params < 500e6
