@@ -1,0 +1,56 @@
+"""Device meshes and sharding rules.
+
+The reference scales with plain DDP over NCCL (SURVEY.md §2.3:
+`ddp_find_unused_parameters_true`, torchrun nproc=8).  The TPU-native
+equivalent is a jax.sharding.Mesh with a `data` axis over all chips: batch
+sharded on `data`, parameters replicated, gradient all-reduce inserted by
+XLA (riding ICI).  A second optional `model` axis is laid out for future
+tensor-parallel sharding of the DiT width — unused (size 1) at reference
+scale, matching SURVEY.md §2.3's "optional later".
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
+mesh spans all processes' devices and per-host data loading feeds the local
+shard (`local_batch_slice`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              model_parallel: int = 1) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis sharded over `data`, rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch dict with the batch axis on `data`."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """Per-process slice of the global batch (multi-host data loading)."""
+    per = global_batch // jax.process_count()
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
