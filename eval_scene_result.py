@@ -1,0 +1,83 @@
+"""Scene evaluation metric CLI (reference eval_scene_result.py equivalent).
+
+Loads the .npz result packages dumped by the scene system's
+save_result_for_eval (render_images [v, 3, h, w] + image [v_in, 3, h, w]),
+computes chunked PSNR / SSIM / LPIPS between rendered target views and
+ground truth, and writes eval_result.json (reference :9-56, which loads .pt
+dumps; the contents and metrics match).
+
+  python eval_scene_result.py --result_dir outputs/.../save/it0 \
+      [--chunk 16] [--lpips-weights lpips_vgg.npz] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--result_dir", required=True)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--lpips-weights", default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from open_diffusiongs_tpu.systems import losses as L
+
+    files = sorted(glob.glob(os.path.join(args.result_dir, "*.npz")))
+    assert files, f"no .npz results in {args.result_dir}"
+    lpips_params = L.lpips_init_params(args.lpips_weights) \
+        if args.lpips_weights else None
+    if lpips_params is None:
+        print("[warn] no --lpips-weights: LPIPS omitted from results")
+
+    gts, preds = [], []
+    for fp in files:
+        d = np.load(fp)
+        render = d["render_images"]     # [v, 3, h, w] (incl. input view 0)
+        gt = d["image"]                 # [v_in, 3, h, w]
+        # target views are 1: in both (view 0 is the conditioning input)
+        v = min(render.shape[0], gt.shape[0])
+        preds.append(render[1:v])
+        gts.append(gt[1:v])
+    preds = np.concatenate(preds)
+    gts = np.concatenate(gts)
+    print(f"{len(files)} scenes, {len(preds)} target views")
+
+    metric_fn = jax.jit(lambda t, r: L.compute_metrics(t, r, lpips_params))
+    psnrs, ssims, lpipss = [], [], []
+    for i in range(0, len(preds), args.chunk):
+        m = metric_fn(jnp.asarray(gts[i:i + args.chunk]),
+                      jnp.asarray(preds[i:i + args.chunk]))
+        psnrs.append(np.asarray(m["psnr"]))
+        ssims.append(np.asarray(m["ssim"]))
+        if "lpips" in m:
+            lpipss.append(np.asarray(m["lpips"]))
+    result = {
+        "psnr": float(np.concatenate(psnrs).mean()),
+        "ssim": float(np.concatenate(ssims).mean()),
+        "num_scenes": len(files),
+        "num_views": int(len(preds)),
+    }
+    if lpipss:
+        result["lpips"] = float(np.concatenate(lpipss).mean())
+    out_path = os.path.join(args.result_dir, "eval_result.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

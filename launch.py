@@ -1,0 +1,224 @@
+"""Training / evaluation CLI — the reference `launch.py` equivalent.
+
+Usage (mirrors the reference, launch.py:128-343):
+  python launch.py --config configs/diffusionGS_rel.yaml --train [a.b=c ...]
+  python launch.py --config configs/diffusionGS_scene_eval.yaml --validate \
+      resume=outputs/.../ckpts
+
+TPU-native: one process per host (`jax.distributed.initialize` when
+JAX_COORDINATOR is set), one jitted train step over a `data` mesh (XLA
+all-reduces gradients over ICI), orbax checkpoints, CSV + TensorBoard
+logging on process 0, config/cmd snapshots in the trial dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--validate", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--use_ema", action="store_true",
+                        help="use EMA weights for validate/test")
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu); needed because "
+                             "the axon plugin overrides JAX_PLATFORMS")
+    args, extras = parser.parse_known_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize()
+    import jax.numpy as jnp
+
+    import open_diffusiongs_tpu as pkg
+    from open_diffusiongs_tpu.data.loader import PrefetchLoader
+    from open_diffusiongs_tpu.parallel.mesh import make_mesh, shard_batch
+    from open_diffusiongs_tpu.parallel.train_step import (
+        init_train_state, make_optimizer, make_train_step)
+    from open_diffusiongs_tpu.systems.builder import (build_optimizer_config,
+                                                      build_system)
+    from open_diffusiongs_tpu.utils.checkpoint import CheckpointManager
+    from open_diffusiongs_tpu.utils.config import dump_config, load_config
+
+    pkg._register_builtins()
+
+    cfg = load_config(args.config, cli_args=extras,
+                      n_devices=jax.device_count())
+    is_main = jax.process_index() == 0
+
+    # --- reproducibility + snapshots (launch.py:172-173, 262-267) ---------
+    np.random.seed(cfg.seed + jax.process_index())
+    if is_main:
+        os.makedirs(cfg.trial_dir, exist_ok=True)
+        with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
+            f.write(" ".join(["python"] + sys.argv))
+        dump_config(os.path.join(cfg.trial_dir, "parsed.yaml"), cfg)
+
+    trainer_cfg = dict(cfg.trainer)
+    bf16 = str(trainer_cfg.get("precision", "bf16")) in (
+        "16-mixed", "bf16", "bf16-mixed", "16")
+
+    # --- data -------------------------------------------------------------
+    data_cls = pkg.find(cfg.data_type)
+    dataset = data_cls(cfg.data, split="train" if args.train else "test",
+                       seed=cfg.seed)
+
+    # --- system + optimizer ----------------------------------------------
+    system = build_system(cfg.system_type, cfg.system, bf16=bf16)
+    opt_cfg = build_optimizer_config(cfg.system, trainer_cfg)
+    tx = make_optimizer(opt_cfg)
+
+    th, tw = cfg.data.get("training_res", [256, 256])
+    n_input_views = (cfg.data.get("gen_views", 4)
+                     if "gen_views" in cfg.data
+                     else cfg.data.get("sel_views", 4) + 1)
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = system.init_params(rng, th, tw, v=n_input_views)
+    state = init_train_state(params, tx, ema_decay=0.9999)
+
+    ckpt_cfg = dict(cfg.checkpoint)
+    ckpt = CheckpointManager(
+        os.path.join(cfg.trial_dir, "ckpts"),
+        every_n_train_steps=ckpt_cfg.get("every_n_train_steps", 1000))
+    if cfg.resume:
+        resume_mngr = CheckpointManager(cfg.resume) \
+            if os.path.abspath(cfg.resume) != ckpt.directory else ckpt
+        state = resume_mngr.restore(state)
+        print(f"Resumed from {cfg.resume} at step {int(state.step)}")
+
+    mesh = make_mesh()
+
+    if args.train:
+        train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main)
+    elif args.validate or args.test:
+        validate(cfg, args, system, state, dataset, mesh, is_main)
+    else:
+        parser.error("one of --train / --validate / --test is required")
+
+
+def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
+    import jax
+
+    from open_diffusiongs_tpu.data.loader import PrefetchLoader
+    from open_diffusiongs_tpu.parallel.mesh import shard_batch
+    from open_diffusiongs_tpu.parallel.train_step import make_train_step
+
+    trainer_cfg = dict(cfg.trainer)
+    log_every = int(trainer_cfg.get("log_every_n_steps", 5))
+    max_steps = args.max_steps or int(trainer_cfg.get("max_steps", 10 ** 9))
+
+    batch_size = int(cfg.data.get("batch_size", 4)) * jax.device_count()
+    loader = PrefetchLoader(
+        dataset, batch_size=batch_size, shuffle=True,
+        num_threads=max(1, int(cfg.data.get("num_workers", 2))),
+        seed=cfg.seed + jax.process_index())
+
+    step_fn = make_train_step(system.train_loss, tx, mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    writer = None
+    csv_path = os.path.join(cfg.trial_dir, "metrics.csv")
+    if is_main:
+        try:
+            from flax.metrics import tensorboard
+            writer = tensorboard.SummaryWriter(
+                os.path.join(cfg.trial_dir, "tb"))
+        except Exception as e:
+            print(f"tensorboard disabled: {e}")
+
+    t0 = time.time()
+    drop = {"uid"}
+    with mesh:
+        for batch in loader:
+            step = int(state.step)
+            if step >= max_steps:
+                break
+            device_batch = shard_batch(
+                mesh, {k: v for k, v in batch.items() if k not in drop})
+            state, metrics = step_fn(state, device_batch, rng)
+            if (step + 1) % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                t0 = time.time()
+                m["steps_per_sec"] = log_every / dt
+                if is_main:
+                    line = " ".join(f"{k}={v:.4g}" for k, v in
+                                    sorted(m.items()))
+                    print(f"step {step + 1}: {line}", flush=True)
+                    _append_csv(csv_path, step + 1, m)
+                    if writer:
+                        for k, v in m.items():
+                            writer.scalar(f"train/{k}", v, step + 1)
+            ckpt.maybe_save(state)
+    ckpt.maybe_save(state, force=True)
+    ckpt.wait()
+    if is_main:
+        print(f"training done at step {int(state.step)}")
+
+
+def validate(cfg, args, system, state, dataset, mesh, is_main):
+    import jax
+    import jax.numpy as jnp
+
+    from open_diffusiongs_tpu.utils.saving import (chw_to_hwc, save_image_grid)
+
+    params = state.ema_params if (args.use_ema and
+                                  state.ema_params is not None) else state.params
+    step = int(state.step)
+    rng = jax.random.PRNGKey(cfg.seed + 2)
+    n_total = len(dataset)
+    eval_bs = int(cfg.data.get("eval_batch_size", 1))
+    sample_jit = None
+    for i in range(0, n_total, eval_bs):
+        samples = [dataset[j] for j in range(i, min(i + eval_bs, n_total))]
+        from open_diffusiongs_tpu.data.loader import collate
+        batch = collate(samples)
+        cond = jnp.asarray(batch["rgbs_input"][:, :1])
+        c2w = jnp.asarray(batch["c2ws_input"])
+        fxy = jnp.asarray(batch["fxfycxcys_input"])
+        if sample_jit is None:
+            sample_jit = jax.jit(lambda p, c, cw, fx, r: system.sample(
+                p, c, cw, fx, r))
+        out = sample_jit(params, cond, c2w, fxy,
+                         jax.random.fold_in(rng, i))
+        renders = np.asarray(out["renders"])  # [b, v, 3, h, w]
+        for bi, uid in enumerate(batch["uid"]):
+            if hasattr(system, "save_result_for_eval") and \
+                    getattr(system.cfg, "save_result_for_eval", False):
+                system.save_result_for_eval(
+                    cfg.trial_dir, step, uid, renders[bi],
+                    np.asarray(batch["rgbs_input"][bi]))
+            grid = chw_to_hwc(renders[bi])
+            save_image_grid(os.path.join(
+                cfg.trial_dir, "save", f"it{step}", f"{uid}.png"), grid)
+        if is_main:
+            print(f"validated {i + len(samples)}/{n_total}", flush=True)
+
+
+def _append_csv(path: str, step: int, metrics: Dict[str, float]):
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(["step"] + sorted(metrics))
+        w.writerow([step] + [metrics[k] for k in sorted(metrics)])
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ def find(name: str):
 
 def _register_builtins():
     """Import submodules for their @register side effects (ref __init__.py:52)."""
-    from . import data as _data  # noqa: F401
-    from . import models as _models  # noqa: F401
-    from . import systems as _systems  # noqa: F401
+    from .data import objaverse as _obja  # noqa: F401
+    from .data import re10k as _re10k  # noqa: F401
+    from .systems import object_system as _obj  # noqa: F401
+    from .systems import scene_system as _scene  # noqa: F401

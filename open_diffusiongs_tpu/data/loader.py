@@ -54,7 +54,14 @@ class PrefetchLoader:
             while True:
                 order = list(range(n))
                 rng.shuffle(order)
-                for i in range(0, n - self.batch_size + 1, self.batch_size):
+                # datasets smaller than a batch: repeat (with reshuffle) so
+                # the stream always yields full batches
+                while len(order) < self.batch_size:
+                    extra = list(range(n))
+                    rng.shuffle(extra)
+                    order.extend(extra)
+                for i in range(0, len(order) - self.batch_size + 1,
+                               self.batch_size):
                     yield order[i:i + self.batch_size]
         else:
             order = list(range(n))

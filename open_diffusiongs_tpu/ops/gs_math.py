@@ -59,12 +59,16 @@ def build_cov3d(scale: jnp.ndarray, rot: jnp.ndarray,
     Returns the 6 unique entries [..., 6] ordered (xx, xy, xz, yy, yz, zz)
     exactly like forward.cu:146-151.
     """
-    R = quat_to_rotmat(rot)
+    # Elementwise formulation (no batched 3x3 matmuls — those pad each tiny
+    # GEMM onto the MXU; this runs on the VPU at full width).
+    R = quat_to_rotmat(rot)                           # [..., 3, 3]
     M = R * (scale_modifier * scale)[..., None, :]    # columns scaled: R @ diag(s)
-    sigma = _mm(M, M.mT)
-    return jnp.stack([sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-                      sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
-                     axis=-1)
+    # sigma_ij = sum_k M[i, k] * M[j, k]
+    m0, m1, m2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    return jnp.stack([
+        jnp.sum(m0 * m0, -1), jnp.sum(m0 * m1, -1), jnp.sum(m0 * m2, -1),
+        jnp.sum(m1 * m1, -1), jnp.sum(m1 * m2, -1), jnp.sum(m2 * m2, -1),
+    ], axis=-1)
 
 
 def ewa_cov2d(mean_world: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
@@ -75,32 +79,44 @@ def ewa_cov2d(mean_world: jnp.ndarray, cov3d: jnp.ndarray, w2c: jnp.ndarray,
     fxfycxcy: [..., 4]; tanfov: [..., 2].
     Returns [..., N, 3] = (cov.xx, cov.xy, cov.yy) with the +0.3 low-pass.
     """
-    Wrot = w2c[..., None, :3, :3]                         # [..., 1, 3, 3]
-    t = jnp.einsum("...ij,...j->...i", w2c[..., None, :3, :3], mean_world,
-                   precision=jax.lax.Precision.HIGHEST) \
-        + w2c[..., None, :3, 3]
+    # Elementwise formulation (VPU): view transform, the 2x3 Jacobian rows
+    # t0 = (fx/tz) * W0 - (fx*tx/tz^2) * W2 and t1 likewise, then
+    # cov2d = T Vrk T^T expanded as scalar sums.
+    W = w2c[..., :3, :3]                                  # [..., 3, 3]
+    p = mean_world
+    t_x = (W[..., None, 0, 0] * p[..., 0] + W[..., None, 0, 1] * p[..., 1]
+           + W[..., None, 0, 2] * p[..., 2] + w2c[..., None, 0, 3])
+    t_y = (W[..., None, 1, 0] * p[..., 0] + W[..., None, 1, 1] * p[..., 1]
+           + W[..., None, 1, 2] * p[..., 2] + w2c[..., None, 1, 3])
+    t_z = (W[..., None, 2, 0] * p[..., 0] + W[..., None, 2, 1] * p[..., 1]
+           + W[..., None, 2, 2] * p[..., 2] + w2c[..., None, 2, 3])
     fx = fxfycxcy[..., None, 0]
     fy = fxfycxcy[..., None, 1]
     limx = 1.3 * tanfov[..., None, 0]
     limy = 1.3 * tanfov[..., None, 1]
-    tz = t[..., 2]
-    txtz = jnp.clip(t[..., 0] / tz, -limx, limx)
-    tytz = jnp.clip(t[..., 1] / tz, -limy, limy)
-    tx = txtz * tz
-    ty = tytz * tz
+    tx = jnp.clip(t_x / t_z, -limx, limx) * t_z
+    ty = jnp.clip(t_y / t_z, -limy, limy) * t_z
+    tz = t_z
 
-    zero = jnp.zeros_like(tz)
-    # J (2x3 rows of the Jacobian of perspective projection)
-    J = jnp.stack([
-        jnp.stack([fx / tz, zero, -(fx * tx) / (tz * tz)], axis=-1),
-        jnp.stack([zero, fy / tz, -(fy * ty) / (tz * tz)], axis=-1),
-    ], axis=-2)                                          # [..., N, 2, 3]
+    # T = J @ W: row0 = (fx/tz) W[0,:] - (fx tx/tz^2) W[2,:], row1 analogous
+    a0 = fx / tz
+    a2 = -(fx * tx) / (tz * tz)
+    b1 = fy / tz
+    b2 = -(fy * ty) / (tz * tz)
+    T0 = [a0 * W[..., None, 0, k] + a2 * W[..., None, 2, k] for k in range(3)]
+    T1 = [b1 * W[..., None, 1, k] + b2 * W[..., None, 2, k] for k in range(3)]
 
-    Vrk = _cov6_to_mat(cov3d)                             # [..., N, 3, 3]
-    T = _mm(J, Wrot)                                      # [..., N, 2, 3]
-    cov = _mm(_mm(T, Vrk), T.mT)                          # [..., N, 2, 2]
-    return jnp.stack([cov[..., 0, 0] + 0.3, cov[..., 0, 1],
-                      cov[..., 1, 1] + 0.3], axis=-1)
+    c_xx, c_xy, c_xz = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    c_yy, c_yz, c_zz = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+
+    def quad(u, v):
+        # u^T Vrk v for 3-vectors u, v (lists of scalars)
+        return (u[0] * (c_xx * v[0] + c_xy * v[1] + c_xz * v[2])
+                + u[1] * (c_xy * v[0] + c_yy * v[1] + c_yz * v[2])
+                + u[2] * (c_xz * v[0] + c_yz * v[1] + c_zz * v[2]))
+
+    return jnp.stack([quad(T0, T0) + 0.3, quad(T0, T1), quad(T1, T1) + 0.3],
+                     axis=-1)
 
 
 def _cov6_to_mat(cov6: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,196 @@
+"""Mesh extraction: jitted 3D Gaussian density field + native iso-surface.
+
+Replicates the reference mesh-export pipeline (gs_core.py:786-869):
+  1. recenter/scale Gaussians to ~[-1, 1] (1.8 / bbox),
+  2. evaluate occupancy = sum_i opacity_i * exp(-0.5 d^T Sigma_i^{-1} d)
+     on a dense grid, blockwise with per-block Gaussian masking,
+  3. iso-surface at `density_thresh` (reference: PyMCubes marching cubes;
+     here: native C++ marching tetrahedra, native/mesher.cpp, auto-built),
+  4. cleanup (largest component; pymeshlab decimation is replaced by the
+     native component filter — decimation TODO).
+
+The density evaluation runs on-device (jit, static block capacity); the
+geometry stage is host-side C++ via ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gaussians import NumpyGaussians
+from .gs_math import build_cov3d
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmesher.so")
+
+
+@functools.lru_cache(None)
+def _lib() -> ctypes.CDLL:
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.mesh_marching_tets.restype = ctypes.c_int
+    lib.mesh_marching_tets.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.mesh_largest_component.restype = ctypes.c_int
+    lib.mesh_free.restype = None
+    lib.mesh_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def marching_tets(grid: np.ndarray, iso: float) -> Tuple[np.ndarray, np.ndarray]:
+    """grid: [nx, ny, nz] float32 -> (verts [V, 3] in grid coords,
+    tris [F, 3] int32)."""
+    grid = np.ascontiguousarray(grid, np.float32)
+    nx, ny, nz = grid.shape
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = _lib().mesh_marching_tets(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, ny, nz, ctypes.c_float(iso),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp), ctypes.byref(nt))
+    assert rc == 0, "marching tets failed"
+    verts = np.ctypeslib.as_array(vp, (nv.value, 3)).copy() \
+        if nv.value else np.zeros((0, 3), np.float32)
+    tris = np.ctypeslib.as_array(tp, (nt.value, 3)).copy() \
+        if nt.value else np.zeros((0, 3), np.int32)
+    _lib().mesh_free(ctypes.cast(vp, ctypes.c_void_p))
+    _lib().mesh_free(ctypes.cast(tp, ctypes.c_void_p))
+    return verts, tris
+
+
+def largest_component(verts: np.ndarray, tris: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    if len(tris) == 0:
+        return verts, tris
+    keep = np.zeros((len(tris),), np.uint8)
+    rc = _lib().mesh_largest_component(
+        np.ascontiguousarray(verts, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(verts)),
+        np.ascontiguousarray(tris, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(tris)),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc == 0
+    tris = tris[keep.astype(bool)]
+    used = np.unique(tris)
+    remap = np.full(len(verts), -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return verts[used], remap[tris]
+
+
+def gaussian_density_grid(g: NumpyGaussians, resolution: int = 256,
+                          block_pts: int = 32768,
+                          max_per_block: int = 8192,
+                          relax: float = 0.1):
+    """Blockwise density field (extract_fields, gs_core.py:786-852).
+
+    Returns (grid [res, res, res] float32, center [3], scale float): verts
+    from the grid map back to world via v / scale + center.
+    """
+    xyz = g.xyz.astype(np.float32)
+    opa = 1.0 / (1.0 + np.exp(-g.opacity[:, 0].astype(np.float32)))
+    mn, mx = xyz.min(0), xyz.max(0)
+    center = (mn + mx) / 2
+    scale = 1.8 / max((mx - mn).max(), 1e-8)
+    xyz_n = (xyz - center) * scale
+    stds = np.exp(g.scaling.astype(np.float32)) * scale
+    rot = g.rotation / np.clip(
+        np.linalg.norm(g.rotation, axis=-1, keepdims=True), 1e-12, None)
+    cov6 = np.asarray(build_cov3d(jnp.asarray(stds), jnp.asarray(rot)))
+    # inverse covariance entries (gaussian_3d_coeff semantics)
+    a, b, c = cov6[:, 0], cov6[:, 1], cov6[:, 2]
+    d, e, f = cov6[:, 3], cov6[:, 4], cov6[:, 5]
+    det = a * d * f + 2 * b * c * e - a * e * e - d * c * c - f * b * b
+    det = np.where(np.abs(det) < 1e-24, 1e-24, det)
+    inv = np.stack([(d * f - e * e), -(b * f - c * e), (b * e - c * d),
+                    (a * f - c * c), -(a * e - b * c), (a * d - b * b)],
+                   axis=-1) / det[:, None]
+
+    n = xyz_n.shape[0]
+    lin = np.linspace(-1.0, 1.0, resolution, dtype=np.float32)
+    grid = np.zeros((resolution,) * 3, np.float32)
+
+    @jax.jit
+    def eval_block(pts, bxyz, binv, bopa, bmask):
+        d = pts[:, None, :] - bxyz[None, :, :]              # [M, L, 3]
+        ia, ib, ic, id_, ie, if_ = (binv[:, i] for i in range(6))
+        power = -0.5 * (ia * d[..., 0] ** 2 + id_ * d[..., 1] ** 2
+                        + if_ * d[..., 2] ** 2) \
+            - ib * d[..., 0] * d[..., 1] - ic * d[..., 0] * d[..., 2] \
+            - ie * d[..., 1] * d[..., 2]
+        w = jnp.where(power <= 0, jnp.exp(power), 0.0)
+        return jnp.sum(jnp.where(bmask[None, :], bopa[None, :] * w, 0.0),
+                       axis=1)
+
+    # blocks over z-slabs of the grid
+    pts_per_slab = resolution * resolution
+    slab_rows = max(1, block_pts // pts_per_slab)
+    for z0 in range(0, resolution, slab_rows):
+        z1 = min(z0 + slab_rows, resolution)
+        zz, yy, xx = np.meshgrid(lin[z0:z1], lin, lin, indexing="ij")
+        pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+        vmin = pts.min(0) - relax
+        vmax = pts.max(0) + relax
+        mask = ((xyz_n > vmin) & (xyz_n < vmax)).all(-1)
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            continue
+        if len(idx) > max_per_block:
+            idx = idx[np.argsort(-opa[idx])[:max_per_block]]
+        pad = max_per_block - len(idx)
+        sel = np.pad(idx, (0, pad))
+        bmask = np.zeros((max_per_block,), bool)
+        bmask[:len(idx)] = True
+        val = np.asarray(eval_block(
+            jnp.asarray(pts), jnp.asarray(xyz_n[sel]), jnp.asarray(inv[sel]),
+            jnp.asarray(opa[sel]), jnp.asarray(bmask)))
+        # val dims are (z, y, x); grid is indexed [x, y, z]
+        grid[:, :, z0:z1] = np.transpose(
+            val.reshape(z1 - z0, resolution, resolution), (2, 1, 0))
+
+    return grid, center, scale
+
+
+def extract_mesh(g: NumpyGaussians, density_thresh: float = 0.005,
+                 resolution: int = 256, keep_largest: bool = True
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Gaussians -> (verts [V, 3] world-space, tris [F, 3])
+    (extract_mesh, gs_core.py:855-869)."""
+    grid, center, scale = gaussian_density_grid(g, resolution)
+    verts, tris = marching_tets(grid, density_thresh)
+    if keep_largest and len(tris):
+        verts, tris = largest_component(verts, tris)
+    # grid coords -> [-1, 1] -> world
+    verts = verts / (resolution - 1.0) * 2.0 - 1.0
+    verts = verts / scale + center
+    return verts.astype(np.float32), tris
+
+
+def save_mesh_obj(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for t in tris:
+            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")

@@ -85,19 +85,22 @@ def preprocess_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
     `act` holds single-scene arrays [N, ...]; `cam` is a single view;
     `cov3d` [N, 6] is precomputed once per scene (view-independent).
     """
-    hi = jax.lax.Precision.HIGHEST
     p = act.xyz                                           # [N, 3]
-    p_view = jnp.matmul(p, cam.w2c[:3, :3].T, precision=hi) + cam.w2c[:3, 3]
-    depth = p_view[..., 2]
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+
+    def affine_row(m, row):
+        # elementwise [N] dot with a matrix row (VPU, no tiny-K matmul)
+        return m[row, 0] * px + m[row, 1] * py + m[row, 2] * pz + m[row, 3]
+
+    depth = affine_row(cam.w2c, 2)
     in_front = depth > NEAR_CULL_Z
 
-    p_hom = jnp.matmul(p, cam.full_proj[:3, :3].T, precision=hi) \
-        + cam.full_proj[:3, 3]
-    p_w = jnp.matmul(p, cam.full_proj[3, :3], precision=hi) + cam.full_proj[3, 3]
+    hom_x = affine_row(cam.full_proj, 0)
+    hom_y = affine_row(cam.full_proj, 1)
+    p_w = affine_row(cam.full_proj, 3)
     rcp_w = 1.0 / (p_w + 1e-7)
-    ndc_xy = p_hom[..., :2] * rcp_w[..., None]
-    xy = jnp.stack([cam_lib.ndc2pix(ndc_xy[..., 0], w),
-                    cam_lib.ndc2pix(ndc_xy[..., 1], h)], axis=-1)
+    xy = jnp.stack([cam_lib.ndc2pix(hom_x * rcp_w, w),
+                    cam_lib.ndc2pix(hom_y * rcp_w, h)], axis=-1)
 
     cov2d = gs_math.ewa_cov2d(p, cov3d, cam.w2c, cam.fxfycxcy, cam.tanfov)
     conic, radius, det_ok = gs_math.conic_and_radius(cov2d)
@@ -211,31 +214,33 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
     pix = t_origin[:, None, :] + local[None, :, :]          # [T, ppt, 2]
 
     def chunk(carry, chunk_in):
-        t_run, dead, acc_c, acc_d = carry
+        # Layout: pixels on the last (lane) axis — [T, kc, ppt]; the
+        # cumulative transmittance runs along the kc (sublane) axis.
+        t_run, dead, acc_c, acc_d = carry                   # [T, ppt] / [T, ppt, 3]
         cxy, ccon, ccol, copa, cdep, cmask = chunk_in       # [T, kc, .]
-        d = cxy[:, None, :, :] - pix[:, :, None, :]         # [T, ppt, kc, 2]
-        dx, dy = d[..., 0], d[..., 1]
-        power = (-0.5 * (ccon[:, None, :, 0] * dx * dx
-                         + ccon[:, None, :, 2] * dy * dy)
-                 - ccon[:, None, :, 1] * dx * dy)           # [T, ppt, kc]
-        alpha = jnp.minimum(ALPHA_MAX, copa[:, None, :] * jnp.exp(power))
-        skip = (power > 0.0) | (alpha < ALPHA_MIN) | (~cmask[:, None, :])
+        dx = cxy[:, :, 0, None] - pix[:, None, :, 0]        # [T, kc, ppt]
+        dy = cxy[:, :, 1, None] - pix[:, None, :, 1]
+        power = (-0.5 * (ccon[:, :, 0, None] * dx * dx
+                         + ccon[:, :, 2, None] * dy * dy)
+                 - ccon[:, :, 1, None] * dx * dy)           # [T, kc, ppt]
+        alpha = jnp.minimum(ALPHA_MAX, copa[:, :, None] * jnp.exp(power))
+        skip = (power > 0.0) | (alpha < ALPHA_MIN) | (~cmask[:, :, None])
         a = jnp.where(skip, 0.0, alpha)
         g = 1.0 - a
-        cp = jnp.cumprod(g, axis=-1)
+        cp = jnp.cumprod(g, axis=1)
         cp_exc = jnp.concatenate(
-            [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1)
-        t_before = t_run[..., None] * cp_exc
+            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+        t_before = t_run[:, None, :] * cp_exc
         viol = (~skip) & (t_before * (1.0 - alpha) < EARLY_STOP_T)
-        earlier_viol = (jnp.cumsum(viol, axis=-1) - viol.astype(jnp.int32)) > 0
-        dead_before = dead[..., None] | earlier_viol
+        earlier_viol = (jnp.cumsum(viol, axis=1) - viol.astype(jnp.int32)) > 0
+        dead_before = dead[:, None, :] | earlier_viol
         contrib = (~skip) & (~viol) & (~dead_before)
-        wgt = jnp.where(contrib, alpha * t_before, 0.0)
-        acc_c = acc_c + jnp.einsum("tpk,tkc->tpc", wgt, ccol,
+        wgt = jnp.where(contrib, alpha * t_before, 0.0)     # [T, kc, ppt]
+        acc_c = acc_c + jnp.einsum("tkp,tkc->tpc", wgt, ccol,
                                    precision=jax.lax.Precision.HIGHEST)
-        acc_d = acc_d + jnp.sum(wgt * cdep[:, None, :], axis=-1)
-        t_run = t_run * jnp.prod(jnp.where(contrib, 1.0 - alpha, 1.0), axis=-1)
-        dead = dead | jnp.any(viol, axis=-1)
+        acc_d = acc_d + jnp.sum(wgt * cdep[:, :, None], axis=1)
+        t_run = t_run * jnp.prod(jnp.where(contrib, 1.0 - alpha, 1.0), axis=1)
+        dead = dead | jnp.any(viol, axis=1)
         return (t_run, dead, acc_c, acc_d), None
 
     n_chunks = K // kc

@@ -1,0 +1,180 @@
+"""DiffusionGSPipeline — single-image -> 3DGS asset inference API.
+
+Equivalent of the reference HuggingFace-diffusers-style pipeline
+(diffusionGS/pipline_obj.py): load a trained system from a config + ckpt,
+preprocess the input image (background removal, foreground-ratio
+recentering, white pad), build the 4-view camera template, run the 30-step
+jitted sampler, filter Gaussians, export PLY / mesh.
+
+Environment notes (zero-egress image):
+  * from_pretrained takes a LOCAL directory (config.yaml + orbax ckpt);
+    the reference's HF-hub download (pipline_obj.py:53-60) maps to that
+    directory having been fetched beforehand;
+  * rembg is unavailable: `preprocess_image` uses the alpha channel when
+    present, else a border-color matting heuristic (documented divergence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .ops.gaussians import NumpyGaussians
+from .systems.builder import build_system
+from .utils.saving import save_gaussians
+
+
+@dataclasses.dataclass
+class GSPipelineOutput:
+    """pipline_obj.py:17-27 equivalent."""
+
+    gaussians: NumpyGaussians
+    renders: np.ndarray          # [v, 3, h, w]
+    input_image: np.ndarray      # [3, h, w] preprocessed condition
+    mesh: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (verts, tris)
+
+
+def remove_background(img: np.ndarray) -> np.ndarray:
+    """[h, w, 3] uint8 -> alpha [h, w] float in [0, 1].
+
+    Heuristic stand-in for rembg (pipline_obj.py:256-261): pixels close to
+    the median border color are background.
+    """
+    border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], axis=0)
+    bg = np.median(border.reshape(-1, 3), axis=0)
+    dist = np.linalg.norm(img.astype(np.float32) - bg[None, None], axis=-1)
+    alpha = np.clip((dist - 20.0) / 40.0, 0.0, 1.0)
+    return alpha
+
+
+def preprocess_image(image: Image.Image, foreground_ratio: float = 0.85,
+                     size: int = 512) -> np.ndarray:
+    """Background removal + recenter to foreground_ratio + white pad square
+    (pipline_obj.py preprocess_image:97-167).  Returns [3, size, size] float."""
+    rgba = np.asarray(image.convert("RGBA"), np.uint8)
+    rgb = rgba[..., :3]
+    if (rgba[..., 3] < 250).any():
+        alpha = rgba[..., 3].astype(np.float32) / 255.0
+    else:
+        alpha = remove_background(rgb)
+    mask = alpha > 0.5
+    if not mask.any():
+        mask = np.ones_like(alpha, dtype=bool)
+    ys, xs = np.nonzero(mask)
+    y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+    fg = rgb[y0:y1, x0:x1].astype(np.float32)
+    fa = alpha[y0:y1, x0:x1]
+    comp = fg * fa[..., None] + 255.0 * (1.0 - fa[..., None])
+
+    h, w = comp.shape[:2]
+    target = int(size * foreground_ratio)
+    s = target / max(h, w)
+    nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
+    comp_img = Image.fromarray(comp.astype(np.uint8)).resize(
+        (nw, nh), Image.LANCZOS)
+    canvas = np.full((size, size, 3), 255, np.uint8)
+    oy, ox = (size - nh) // 2, (size - nw) // 2
+    canvas[oy:oy + nh, ox:ox + nw] = np.asarray(comp_img)
+    return canvas.transpose(2, 0, 1).astype(np.float32) / 255.0
+
+
+def object_camera_template(n_views: int = 4, radius: float = 3.0,
+                           elevation_deg: float = 5.0, h: int = 256,
+                           w: int = 256, fov_deg: float = 39.6):
+    """4-view template: view 0 = input, views 1..3 = evenly spaced azimuths
+    (camera_template.pt stand-in; pipline_obj.py:269-287).  The default fov
+    matches GObjaverse's fxfy = 1422.222/1024 * res."""
+    f = 1422.222 / 1024.0 * w
+    ele = np.radians(elevation_deg)
+    c2ws, fxy = [], []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        eye = np.asarray([radius * np.cos(ele) * np.cos(ang),
+                          radius * np.cos(ele) * np.sin(ang),
+                          radius * np.sin(ele)])
+        z = -eye / np.linalg.norm(eye)
+        up = np.asarray([0.0, 0.0, 1.0])
+        x = np.cross(z, up); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, eye
+        c2ws.append(c2w)
+        fxy.append([f, f, w / 2.0, h / 2.0])
+    return (np.stack(c2ws).astype(np.float32), np.asarray(fxy, np.float32))
+
+
+class DiffusionGSPipeline:
+    def __init__(self, system, params):
+        self.system = system
+        self.params = params
+        self._sample_jit = None
+
+    @classmethod
+    def from_pretrained(cls, path: str, bf16: bool = True
+                        ) -> "DiffusionGSPipeline":
+        """path: directory with config.yaml + ckpts/ (orbax)
+        (pipline_obj.py from_pretrained:53-83, local form)."""
+        from .parallel.train_step import (OptimizerConfig, init_train_state,
+                                          make_optimizer)
+        from .utils.checkpoint import CheckpointManager
+        from .utils.config import load_config
+        import open_diffusiongs_tpu as pkg
+        pkg._register_builtins()
+
+        cfg = load_config(os.path.join(path, "config.yaml"), makedirs=False)
+        system = build_system(cfg.system_type, cfg.system, bf16=bf16)
+        th, tw = cfg.data.get("training_res", [256, 256])
+        n_views = cfg.data.get("gen_views", 4)
+        params = system.init_params(jax.random.PRNGKey(0), th, tw, v=n_views)
+        tx = make_optimizer(OptimizerConfig())
+        state = init_train_state(params, tx, ema_decay=0.9999)
+        mngr = CheckpointManager(os.path.join(path, "ckpts"))
+        state = mngr.restore(state)
+        use = state.ema_params if state.ema_params is not None else state.params
+        return cls(system, use)
+
+    def __call__(self, image, seed: int = 0, foreground_ratio: float = 0.85,
+                 resolution: int = 256, n_views: int = 4,
+                 extract_mesh: bool = False,
+                 mesh_resolution: int = 256,
+                 opacity_thres: float = 0.02,
+                 crop_bbx: Tuple[float, ...] = (-0.91, 0.91) * 3,
+                 save_ply: Optional[str] = None) -> GSPipelineOutput:
+        """Single image -> 3D (pipline_obj.py __call__:229-322)."""
+        if isinstance(image, str):
+            image = Image.open(image)
+        if isinstance(image, Image.Image):
+            cond = preprocess_image(image, foreground_ratio, resolution)
+        else:
+            cond = np.asarray(image, np.float32)
+        c2ws, fxy = object_camera_template(n_views, h=resolution, w=resolution)
+
+        if self._sample_jit is None:
+            self._sample_jit = jax.jit(
+                lambda p, c, cw, fx, r: self.system.sample(p, c, cw, fx, r))
+        out = self._sample_jit(
+            self.params, jnp.asarray(cond)[None, None],
+            jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None],
+            jax.random.PRNGKey(seed))
+
+        g_dev = out["gaussians"]
+        g = NumpyGaussians.from_device(
+            jax.tree.map(lambda x: x[0], g_dev))
+        g = g.apply_all_filters(opacity_thres=opacity_thres,
+                                crop_bbx=crop_bbx)
+        renders = np.asarray(out["renders"][0])
+
+        mesh = None
+        if extract_mesh:
+            from .ops.mesh import extract_mesh as _extract
+            mesh = _extract(g, resolution=mesh_resolution)
+        if save_ply:
+            save_gaussians(g, save_ply)
+        return GSPipelineOutput(gaussians=g, renders=renders,
+                                input_image=cond, mesh=mesh)

@@ -1,0 +1,140 @@
+"""End-to-end CLI integration: launch.py --train on a synthetic GObjaverse
+fixture with a tiny model, then checkpoint resume."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_CFG = """
+exp_root_dir: "{out}"
+name: "tiny"
+tag: "t"
+use_timestamp: false
+seed: 0
+data_type: "Objaverse-datamodule"
+data:
+  local_dir: "{root}"
+  image_dir: "{img}/"
+  gen_idxs: [30, 33, 36, 39]
+  sel_views: 2
+  gen_views: 4
+  training_res: [16, 16]
+  batch_size: 1
+  num_workers: 1
+  norm_camera: true
+  norm_radius: 3.
+system_type: "diffusion-gs-system"
+system:
+  num_inference_steps: 2
+  use_lpips: false
+  shape_model_type: "diffusion-gs-model"
+  shape_model:
+    width: 64
+    in_channels: 9
+    patch_size: 8
+    n_gaussians: 2
+    dim_heads: 32
+    num_layers: 2
+  noise_scheduler:
+    num_train_timesteps: 50
+  raster:
+    max_tiles_per_gaussian: 16
+    max_per_tile: 1056
+    blend_chunk: 32
+  loss:
+    lambda_diffusion: 1.0
+    lambda_lpips: 0.0
+    lambda_ssim: 0.0
+    lambda_pointsdist: 0.1
+    lambda_xyz: 0.0
+  optimizer:
+    name: AdamW
+    args: {{lr: 1.e-4}}
+  scheduler:
+    name: CosineAnnealingLR
+    args: {{T_max: 100}}
+trainer:
+  log_every_n_steps: 1
+  gradient_clip_val: 0.5
+  precision: fp32
+checkpoint:
+  every_n_train_steps: 2
+"""
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    """Small synthetic GObjaverse tree (reuse logic from test_data)."""
+    from open_diffusiongs_tpu.utils.exr import write_exr
+    tmp_path = tmp_path_factory.mktemp("gobj")
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    img_dir = tmp_path / "images"
+    root.mkdir()
+    uids = ["000/obj1"]
+    (root / "train.json").write_text(json.dumps(uids))
+    h = w = 32
+    for uid in uids:
+        for idx in range(40):
+            d = img_dir / uid / "campos_512_v4" / f"{idx:05d}"
+            d.mkdir(parents=True)
+            prefix = d / f"{idx:05d}"
+            rgba = (rng.uniform(0, 255, (h, w, 4))).astype(np.uint8)
+            rgba[..., 3] = 255
+            Image.fromarray(rgba, "RGBA").save(str(prefix) + ".png")
+            ang = 2 * np.pi * idx / 40
+            origin = np.asarray([2.2 * np.cos(ang), 2.2 * np.sin(ang), 0.9])
+            z = -origin / np.linalg.norm(origin)
+            up = np.asarray([0.0, 0.0, 1.0])
+            x = np.cross(z, up); x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            (d / f"{idx:05d}.json").write_text(json.dumps(
+                {"x": x.tolist(), "y": y.tolist(), "z": z.tolist(),
+                 "origin": origin.tolist()}))
+            nd = np.zeros((h, w, 4), np.float32)
+            nd[..., 3] = rng.uniform(1.8, 2.8, (h, w))
+            write_exr(str(prefix) + "_nd.exr", nd, ["R", "G", "B", "A"])
+    return root, img_dir, tmp_path
+
+
+def _run(args, cwd=REPO):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # share a compile cache across the two launches (resume re-compiles)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_tests"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+def test_launch_train_and_resume(fixture_dirs):
+    root, img_dir, tmp = fixture_dirs
+    out = tmp / "outputs"
+    cfg_path = tmp / "tiny.yaml"
+    cfg_path.write_text(TINY_CFG.format(out=out, root=root, img=img_dir))
+
+    r = _run(["launch.py", "--config", str(cfg_path), "--train",
+              "--max_steps", "3", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "training done at step 3" in r.stdout, r.stdout[-2000:]
+    trial = out / "tiny" / "t"
+    assert (trial / "cmd.txt").exists()
+    assert (trial / "parsed.yaml").exists()
+    assert (trial / "metrics.csv").exists()
+    ckpts = os.listdir(trial / "ckpts")
+    assert any(c.isdigit() for c in ckpts), ckpts
+
+    # resume from the checkpoint and run 2 more steps
+    r2 = _run(["launch.py", "--config", str(cfg_path), "--train",
+               "--max_steps", "5", "--platform", "cpu",
+               f"resume={trial / 'ckpts'}"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "Resumed from" in r2.stdout
+    assert "training done at step 5" in r2.stdout, r2.stdout[-2000:]

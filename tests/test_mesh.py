@@ -1,0 +1,92 @@
+"""Native mesher tests: sphere SDF golden test, density field, end-to-end
+Gaussian -> mesh extraction."""
+
+import numpy as np
+import pytest
+
+from open_diffusiongs_tpu.ops.gaussians import NumpyGaussians
+from open_diffusiongs_tpu.ops.mesh import (extract_mesh,
+                                           gaussian_density_grid,
+                                           largest_component, marching_tets,
+                                           save_mesh_obj)
+
+
+def _sphere_grid(res=48, r=0.6):
+    lin = np.linspace(-1, 1, res, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    return (r - np.sqrt(x * x + y * y + z * z)).astype(np.float32)
+
+
+def test_marching_tets_sphere():
+    res = 48
+    grid = _sphere_grid(res)
+    verts, tris = marching_tets(grid, 0.0)
+    assert len(verts) > 100 and len(tris) > 100
+    # vertices lie on the r=0.6 sphere (in grid coords)
+    w = verts / (res - 1) * 2 - 1
+    rad = np.linalg.norm(w, axis=1)
+    assert abs(rad.mean() - 0.6) < 0.02
+    assert rad.std() < 0.02
+    # all triangle indices valid
+    assert tris.min() >= 0 and tris.max() < len(verts)
+    # welded: every vertex used
+    assert len(np.unique(tris)) == len(verts)
+    # watertight-ish: every edge shared by exactly 2 triangles
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
+                            tris[:, [0, 2]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).mean() > 0.99
+
+
+def test_largest_component():
+    g1 = _sphere_grid(32, 0.5)
+    # two disjoint spheres
+    lin = np.linspace(-1, 1, 32, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    small = 0.15 - np.sqrt((x - 0.75) ** 2 + (y - 0.75) ** 2 + (z - 0.75) ** 2)
+    grid = np.maximum(g1, small).astype(np.float32)
+    verts, tris = marching_tets(grid, 0.0)
+    v2, t2 = largest_component(verts, tris)
+    assert len(t2) < len(tris)
+    w = v2 / 31 * 2 - 1
+    assert np.linalg.norm(w, axis=1).max() < 0.6  # small sphere removed
+
+
+def test_density_grid_peak_at_gaussian():
+    g = NumpyGaussians(
+        xyz=np.asarray([[0.2, -0.1, 0.3], [-0.4, 0.2, -0.2]], np.float32),
+        features=np.zeros((2, 1, 3), np.float32),
+        scaling=np.full((2, 3), -2.0, np.float32),
+        rotation=np.tile(np.asarray([1, 0, 0, 0], np.float32), (2, 1)),
+        opacity=np.full((2, 1), 3.0, np.float32))
+    grid, center, scale = gaussian_density_grid(g, resolution=32,
+                                                max_per_block=16)
+    assert grid.max() > 0.5
+    # peak location ~ first or second gaussian
+    idx = np.unravel_index(np.argmax(grid), grid.shape)
+    world = (np.asarray(idx) / 31 * 2 - 1) / scale + center
+    d = np.linalg.norm(g.xyz - world, axis=1).min()
+    assert d < 0.15
+
+
+def test_extract_mesh_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    # cloud of gaussians inside a 0.3-radius ball -> mesh around it
+    n = 300
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = dirs * rng.uniform(0, 0.3, (n, 1))
+    g = NumpyGaussians(
+        xyz=pts.astype(np.float32),
+        features=np.zeros((n, 1, 3), np.float32),
+        scaling=np.full((n, 3), -3.0, np.float32),
+        rotation=np.tile(np.asarray([1, 0, 0, 0], np.float32), (n, 1)),
+        opacity=np.full((n, 1), 2.0, np.float32))
+    verts, tris = extract_mesh(g, density_thresh=0.05, resolution=64)
+    assert len(verts) > 50 and len(tris) > 50
+    assert np.linalg.norm(verts, axis=1).max() < 0.6
+    path = str(tmp_path / "m.obj")
+    save_mesh_obj(path, verts, tris)
+    head = open(path).readline()
+    assert head.startswith("v ")
