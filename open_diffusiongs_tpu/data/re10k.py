@@ -60,7 +60,7 @@ def preprocess_poses(c2ws: np.ndarray, scene_scale_factor: float = 1.35
     avg[:3, 3] = center
     c2ws = np.linalg.inv(avg)[None] @ c2ws
     scale = scene_scale_factor * np.abs(c2ws[:, :3, 3]).max()
-    c2ws[:, :3, 3] /= scale
+    c2ws[:, :3, 3] /= max(scale, 1e-8)
     return c2ws.astype(np.float32)
 
 
