@@ -207,7 +207,12 @@ def p_sample_step(sched: DiffusionSchedule,
     t_model = sched.timestep_map[t_b]                       # respace remap
     images = jnp.concatenate([cond, x_t], axis=1)
     renders, aux = model_fn(images, t_model)
-    model_output = renders[:, cond.shape[1]:]
+    # model_fn may render only the noisy views (an optimization the loop
+    # uses — the clean cond view's render is never consumed mid-loop)
+    if renders.shape[1] == x_t.shape[1]:
+        model_output = renders
+    else:
+        model_output = renders[:, cond.shape[1]:]
     pred_xstart = jnp.clip(model_output, -1.0, 1.0) if clip_denoised \
         else model_output
     mean, _ = q_posterior(sched, pred_xstart, x_t, t_b)
@@ -225,7 +230,8 @@ def p_sample_loop(sched: DiffusionSchedule,
                   noise: jnp.ndarray,
                   rng: jax.Array,
                   clip_denoised: bool = True,
-                  return_trajectory: bool = False):
+                  return_trajectory: bool = False,
+                  final_model_fn: Optional[Callable] = None):
     """Full reverse process (p_sample_loop_progressive,
     gaussian_diffusion.py:560-603) as one lax.scan; the t=0 step is peeled
     so the last denoiser call's Gaussians/renders are returned directly.
@@ -249,8 +255,8 @@ def p_sample_loop(sched: DiffusionSchedule,
     (x_last,), traj = jax.lax.scan(step, (noise,), ts)
 
     x_final, pred_x0, (renders, aux) = p_sample_step(
-        sched, model_fn, cond, x_last, jnp.asarray(0, jnp.int32),
-        jax.random.fold_in(rng, 0), clip_denoised)
+        sched, final_model_fn or model_fn, cond, x_last,
+        jnp.asarray(0, jnp.int32), jax.random.fold_in(rng, 0), clip_denoised)
     out = {"sample": pred_x0, "renders": renders, "aux": aux}
     if return_trajectory:
         out["trajectory"] = traj

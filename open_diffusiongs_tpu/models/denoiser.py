@@ -77,6 +77,7 @@ class DGSDenoiser(nn.Module):
     range_setting_far: float = 500.0
     dtype: Dtype = jnp.float32          # compute dtype (bf16 on TPU)
     remat: bool = True
+    attn_impl: str = "auto"             # 'splash' (TPU Pallas) | 'xla'
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,
@@ -128,7 +129,7 @@ class DGSDenoiser(nn.Module):
 
         x = DiTStack(self.width, self.width // self.dim_heads,
                      self.num_layers, dtype=self.dtype, remat=self.remat,
-                     name="transformer")(x, t_emb)
+                     attn_impl=self.attn_impl, name="transformer")(x, t_emb)
 
         g_out = x[:, :self.n_gaussians]
         img_out = x[:, self.n_gaussians:]

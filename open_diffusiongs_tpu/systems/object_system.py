@@ -131,16 +131,23 @@ class ObjectSystem:
 
     # -- inference ---------------------------------------------------------
     def make_model_fn(self, params, c2w, fxfycxcy, h: int, w: int,
-                      training: bool = False):
+                      training: bool = False, skip_cond_render: int = 0):
         """model_fn for the diffusion loop: renders the SAME views that are
         fed in (sampling contract of p_mean_variance,
-        gaussian_diffusion.py:349-364)."""
+        gaussian_diffusion.py:349-364).
+
+        skip_cond_render=n drops the first n (condition) views from the
+        RENDER camera set — their renders are never consumed inside the
+        sampling loop, so skipping them saves n/v of the rasterizer work
+        per step (the final step renders all views)."""
         ray_o, ray_d = rays_chw(c2w, fxfycxcy, h, w)
+        rc2w = c2w[:, skip_cond_render:]
+        rfxy = fxfycxcy[:, skip_cond_render:]
 
         def model_fn(images, t):
             g, pix_xyz = self.model.apply(params, images, ray_o, ray_d, t,
                                           training=training)
-            out = rasterize.render(g, c2w, fxfycxcy, h, w,
+            out = rasterize.render(g, rc2w, rfxy, h, w,
                                    bg_color=self.cfg.bg_color,
                                    cfg=self.cfg.raster)
             return out["render"].astype(jnp.float32), (g, out["alpha"])
@@ -156,10 +163,13 @@ class ObjectSystem:
         rng_noise, rng_loop = jax.random.split(rng)
         noise = jax.random.normal(
             rng_noise, (b, v_total - n_cond, 3, h, w), jnp.float32)
-        model_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w)
-        out = p_sample_loop(self.sched_infer, model_fn,
+        loop_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w,
+                                     skip_cond_render=n_cond)
+        final_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w)
+        out = p_sample_loop(self.sched_infer, loop_fn,
                             cond_images.astype(jnp.float32), noise, rng_loop,
-                            return_trajectory=return_trajectory)
+                            return_trajectory=return_trajectory,
+                            final_model_fn=final_fn)
         gaussians, alpha = out.pop("aux")
         out["gaussians"] = gaussians
         out["alpha"] = alpha

@@ -94,11 +94,14 @@ class SceneSystem(ObjectSystem):
         rng_noise, rng_loop = jax.random.split(rng)
         noise = jax.random.normal(
             rng_noise, (b, v_total - n_cond, 3, h, w), jnp.float32)
-        model_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w)
-        out = p_sample_loop(self.sched_infer, model_fn,
+        loop_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w,
+                                     skip_cond_render=n_cond)
+        final_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w)
+        out = p_sample_loop(self.sched_infer, loop_fn,
                             cond_images.astype(jnp.float32), noise, rng_loop,
                             clip_denoised=False,
-                            return_trajectory=return_trajectory)
+                            return_trajectory=return_trajectory,
+                            final_model_fn=final_fn)
         gaussians, alpha = out.pop("aux")
         out["gaussians"] = gaussians
         out["alpha"] = alpha
