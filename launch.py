@@ -178,12 +178,17 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
 
     from open_diffusiongs_tpu.utils.saving import (chw_to_hwc, save_image_grid)
 
+    from open_diffusiongs_tpu.ops.gaussians import NumpyGaussians
+    from open_diffusiongs_tpu.systems import eval_utils
+
     params = state.ema_params if (args.use_ema and
                                   state.ema_params is not None) else state.params
     step = int(state.step)
     rng = jax.random.PRNGKey(cfg.seed + 2)
     n_total = len(dataset)
     eval_bs = int(cfg.data.get("eval_batch_size", 1))
+    save_videos = bool(getattr(system.cfg, "save_intermediate_video", False))
+    out_dir = os.path.join(cfg.trial_dir, "save", f"it{step}")
     sample_jit = None
     for i in range(0, n_total, eval_bs):
         samples = [dataset[j] for j in range(i, min(i + eval_bs, n_total))]
@@ -194,19 +199,34 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
         fxy = jnp.asarray(batch["fxfycxcys_input"])
         if sample_jit is None:
             sample_jit = jax.jit(lambda p, c, cw, fx, r: system.sample(
-                p, c, cw, fx, r))
+                p, c, cw, fx, r, return_trajectory=save_videos))
         out = sample_jit(params, cond, c2w, fxy,
                          jax.random.fold_in(rng, i))
         renders = np.asarray(out["renders"])  # [b, v, 3, h, w]
         for bi, uid in enumerate(batch["uid"]):
-            if hasattr(system, "save_result_for_eval") and \
-                    getattr(system.cfg, "save_result_for_eval", False):
+            if getattr(system.cfg, "save_result_for_eval", False):
                 system.save_result_for_eval(
                     cfg.trial_dir, step, uid, renders[bi],
                     np.asarray(batch["rgbs_input"][bi]))
             grid = chw_to_hwc(renders[bi])
-            save_image_grid(os.path.join(
-                cfg.trial_dir, "save", f"it{step}", f"{uid}.png"), grid)
+            save_image_grid(os.path.join(out_dir, f"{uid}.png"), grid)
+            if save_videos:
+                # x_t / pred_x0 trajectories + per-scene PLY + path video
+                # (diffusion_gs_system_scene validation_step :203-219)
+                xt, x0 = out["trajectory"]
+                tmap = np.asarray(system.sched_infer.timestep_map)[::-1]
+                eval_utils.save_trajectory_videos(
+                    out_dir, str(uid), np.asarray(xt[:, bi]),
+                    np.asarray(x0[:, bi]),
+                    np.asarray(batch["rgbs_input"][bi, :1]), tmap)
+                g = NumpyGaussians.from_device(
+                    jax.tree.map(lambda x: x[bi], out["gaussians"]))
+                eval_utils.save_scene_gaussians(
+                    out_dir, str(uid), g,
+                    keyframe_c2ws=np.asarray(batch["c2ws_input"][bi]),
+                    fxfycxcy=np.asarray(batch["fxfycxcys_input"][bi]),
+                    h=renders.shape[-2], w=renders.shape[-1],
+                    raster_cfg=system.cfg.raster)
         if is_main:
             print(f"validated {i + len(samples)}/{n_total}", flush=True)
 

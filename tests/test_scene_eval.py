@@ -1,0 +1,143 @@
+"""Scene system eval path: validate CLI on a synthetic RE10K fixture with
+trajectory videos, PLY + path video, npz dumps, then the metric CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCENE_CFG = """
+exp_root_dir: "{out}"
+name: "tiny_scene"
+tag: "t"
+use_timestamp: false
+seed: 0
+data_type: "Re10k-datamodule"
+data:
+  local_dir: "{full_list}"
+  local_eval_dir: "{full_list}"
+  view_idx_file_path: ""
+  sel_views: 2
+  sel_views_train: 1
+  training_res: [16, 16]
+  batch_size: 1
+  eval_batch_size: 1
+  num_workers: 1
+system_type: "diffusion-gs-scene-system"
+system:
+  num_inference_steps: 2
+  use_lpips: false
+  save_intermediate_video: true
+  save_result_for_eval: true
+  shape_model_type: "diffusion-gs-model-scene"
+  shape_model:
+    width: 64
+    in_channels: 9
+    patch_size: 8
+    n_gaussians: 2
+    dim_heads: 32
+    num_layers: 2
+    ray_pe_type: 'plk'
+    range_setting_near: 0
+    range_setting_far: 500
+  noise_scheduler:
+    num_train_timesteps: 50
+  raster:
+    max_tiles_per_gaussian: 16
+    max_per_tile: 800
+    blend_chunk: 32
+  loss:
+    lambda_diffusion: 1.0
+    lambda_lpips: 0.0
+    lambda_ssim: 0.0
+    lambda_pointsdist: 0.0
+    lambda_xyz: 0.0
+  optimizer:
+    name: AdamW
+    args: {{lr: 1.e-4}}
+trainer:
+  log_every_n_steps: 1
+  precision: fp32
+checkpoint:
+  every_n_train_steps: 100
+"""
+
+
+@pytest.fixture(scope="module")
+def re10k_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("re10k")
+    rng = np.random.default_rng(0)
+    meta_dir = tmp / "metadata"
+    img_dir = tmp / "images"
+    meta_dir.mkdir()
+    paths = []
+    for s in range(2):
+        sd = img_dir / f"scene{s}"
+        sd.mkdir(parents=True)
+        frames = []
+        for i in range(6):
+            arr = rng.uniform(0, 255, (24, 32, 3)).astype(np.uint8)
+            p = sd / f"{i:05d}.png"
+            Image.fromarray(arr).save(p)
+            ang = 0.1 * i
+            w2c = np.eye(4)
+            w2c[:3, 3] = [0.1 * np.cos(ang), 0.05 * np.sin(ang), 0.2 * i]
+            frames.append({"image_path": str(p),
+                           "fxfycxcy": [30.0, 30.0, 16.0, 12.0],
+                           "w2c": w2c.tolist()})
+        mp = meta_dir / f"scene{s}.json"
+        mp.write_text(json.dumps({"scene_name": f"scene{s}",
+                                  "frames": frames}))
+        paths.append(str(mp))
+    full_list = tmp / "full_list.txt"
+    full_list.write_text("\n".join(paths) + "\n")
+    return tmp, full_list
+
+
+def _run(args):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_tests"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+def test_scene_train_and_validate(re10k_fixture):
+    tmp, full_list = re10k_fixture
+    out = tmp / "outputs"
+    cfg_path = tmp / "scene.yaml"
+    cfg_path.write_text(SCENE_CFG.format(out=out, full_list=full_list))
+
+    r = _run(["launch.py", "--config", str(cfg_path), "--train",
+              "--max_steps", "2", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "training done at step 2" in r.stdout
+
+    trial = out / "tiny_scene" / "t"
+    r2 = _run(["launch.py", "--config", str(cfg_path), "--validate",
+               "--platform", "cpu", f"resume={trial / 'ckpts'}"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    save_dir = trial / "save" / "it2"
+    files = os.listdir(save_dir)
+    assert "scene0.png" in files
+    assert "scene0.npz" in files
+    assert "scene0_traj_xt.avi" in files
+    assert "scene0_traj_xstart.avi" in files
+    assert "scene0.ply" in files
+    assert "scene0_path.avi" in files
+
+    # metric CLI over the npz dumps
+    r3 = _run(["eval_scene_result.py", "--result_dir", str(save_dir),
+               "--platform", "cpu"])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    result = json.load(open(save_dir / "eval_result.json"))
+    assert "psnr" in result and "ssim" in result
+    assert result["num_scenes"] == 2
+    assert np.isfinite(result["psnr"])
