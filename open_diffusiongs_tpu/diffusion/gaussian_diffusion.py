@@ -203,6 +203,7 @@ def p_sample_step(sched: DiffusionSchedule,
     model's auxiliary output (renders + Gaussians).
     """
     b = x_t.shape[0]
+    t_idx = jnp.asarray(t_idx, jnp.int32)
     t_b = jnp.full((b,), t_idx, jnp.int32)
     t_model = sched.timestep_map[t_b]                       # respace remap
     images = jnp.concatenate([cond, x_t], axis=1)

@@ -322,7 +322,10 @@ def render(gaussians: Gaussians, c2w: jnp.ndarray, fxfycxcy: jnp.ndarray,
         def one_view(cam):
             return rasterize_single_view(act, cov3d, cam, h, w,
                                          sh_degree, bg, cfg)
-        return jax.vmap(one_view)(cams)
+        # sequential over views: a batched (vmapped) lax.sort is ~2.4x
+        # slower than V independent sorts on TPU (measured on v5e), and the
+        # per-view transients don't multiply
+        return jax.lax.map(one_view, cams)
 
     color, alpha, depth, otile, ogauss = jax.lax.map(
         lambda args: render_scene(*args), (tuple(gaussians), c2w, fxfycxcy))
