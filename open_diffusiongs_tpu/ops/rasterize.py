@@ -63,6 +63,10 @@ class RasterizeConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16
     max_per_tile: int = 512
     blend_chunk: int = 32
+    # rematerialize each view's rasterization in backward instead of saving
+    # the blend intermediates (the reference's DeferredGaussianRender memory
+    # trick, gs_core.py:949-1064, as a one-line remat policy)
+    remat: bool = True
 
 
 class PreprocessedView(NamedTuple):
@@ -265,7 +269,10 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
             jnp.zeros((num_tiles, ppt), bool),
             jnp.zeros((num_tiles, ppt, 3), jnp.float32),
             jnp.zeros((num_tiles, ppt), jnp.float32))
-    (t_fin, _, acc_c, acc_d), _ = jax.lax.scan(chunk, init, chunks)
+    # checkpoint the chunk body: backward recomputes the [T, kc, ppt]
+    # blend intermediates per chunk instead of saving all n_chunks of them
+    (t_fin, _, acc_c, acc_d), _ = jax.lax.scan(
+        jax.checkpoint(chunk, prevent_cse=False), init, chunks)
 
     color = acc_c + t_fin[..., None] * bg[None, None, :]    # forward.cu:370-372
     # [T, ppt, c] -> [ty, tx, py, px, c] -> [Hp, Wp, c]
@@ -288,6 +295,12 @@ def rasterize_single_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
     tiles_y = -(-h // TILE)
     pre = preprocess_view(act, cov3d, cam, h, w, sh_degree)
     bins = bin_tiles(pre, tiles_x, tiles_y, cfg)
+    # name the (integer, gradient-free) bin structure so the remat policy in
+    # render() keeps it as a residual — backward then skips the re-sort
+    from jax.ad_checkpoint import checkpoint_name
+    bins = bins._replace(
+        idx=checkpoint_name(bins.idx, "raster_bins_idx"),
+        mask=checkpoint_name(bins.mask, "raster_bins_mask"))
     color, alpha, depth = blend_tiles(pre, bins, tiles_x, tiles_y, bg, cfg)
     return (color[:h, :w], alpha[:h, :w], depth[:h, :w],
             bins.overflow_tiles, bins.overflow_gaussians)
@@ -322,6 +335,11 @@ def render(gaussians: Gaussians, c2w: jnp.ndarray, fxfycxcy: jnp.ndarray,
         def one_view(cam):
             return rasterize_single_view(act, cov3d, cam, h, w,
                                          sh_degree, bg, cfg)
+        if cfg.remat:
+            one_view = jax.checkpoint(
+                one_view,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "raster_bins_idx", "raster_bins_mask"))
         # sequential over views: a batched (vmapped) lax.sort is ~2.4x
         # slower than V independent sorts on TPU (measured on v5e), and the
         # per-view transients don't multiply
