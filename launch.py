@@ -69,6 +69,7 @@ def main():
         with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
             f.write(" ".join(["python"] + sys.argv))
         dump_config(os.path.join(cfg.trial_dir, "parsed.yaml"), cfg)
+        _snapshot_code(cfg.trial_dir)
 
     trainer_cfg = dict(cfg.trainer)
     bf16 = str(trainer_cfg.get("precision", "bf16")) in (
@@ -229,6 +230,33 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
                     raster_cfg=system.cfg.raster)
         if is_main:
             print(f"validated {i + len(samples)}/{n_total}", flush=True)
+
+
+def _snapshot_code(trial_dir: str):
+    """Copy git-tracked sources into the trial dir (CodeSnapshot callback,
+    utils/callbacks.py:83-117)."""
+    import shutil
+    import subprocess
+    try:
+        files = subprocess.run(
+            ["git", "ls-files"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30).stdout.splitlines()
+    except Exception:
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    dst_root = os.path.join(trial_dir, "code")
+    for f in files:
+        if not f.endswith((".py", ".yaml", ".cpp", ".md", "Makefile")):
+            continue
+        src = os.path.join(root, f)
+        dst = os.path.join(dst_root, f)
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                shutil.copy2(src, dst)
+            except OSError:
+                pass
 
 
 def _append_csv(path: str, step: int, metrics: Dict[str, float]):

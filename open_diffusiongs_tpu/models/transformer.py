@@ -119,13 +119,33 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jax.nn.dot_product_attention(q, k, v)
 
 
+class RMSNorm(nn.Module):
+    """RMSNorm with learned scale (utils_transformer.py:14-23)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        norm = x32 * jax.lax.rsqrt(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps)
+        return (norm * w).astype(x.dtype)
+
+
 class Attention(nn.Module):
-    """timm-style multi-head self-attention (qkv bias, out-proj bias)."""
+    """timm-style multi-head self-attention (qkv bias, out-proj bias).
+
+    qk_norm=True adds per-head RMSNorm on q and k — the reference's
+    QK_Norm_SelfAttention variant (utils_transformer.py:533-584), unused by
+    shipped configs but part of the capability surface."""
 
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +158,9 @@ class Attention(nn.Module):
         q = q.reshape(b, l, self.num_heads, head_dim)
         k = k.reshape(b, l, self.num_heads, head_dim)
         v = v.reshape(b, l, self.num_heads, head_dim)
+        if self.qk_norm:
+            q = RMSNorm(head_dim, name="q_norm")(q)
+            k = RMSNorm(head_dim, name="k_norm")(k)
         o = fused_attention(q, k, v, self.attn_impl)
         o = o.reshape(b, l, d)
         return nn.Dense(d, use_bias=True, kernel_init=INIT,
@@ -179,6 +202,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    qk_norm: bool = False     # DiTBlock_QK_Norm (utils_transformer.py:590-633)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -190,7 +214,8 @@ class DiTBlock(nn.Module):
         attn_in = modulate(_norm_noaffine(x), shift_msa, scale_msa)
         x = x + gate_msa[:, None, :] * Attention(
             self.hidden_size, self.num_heads, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn")(attn_in)
+            attn_impl=self.attn_impl, qk_norm=self.qk_norm,
+            name="attn")(attn_in)
         mlp_in = modulate(_norm_noaffine(x), shift_mlp, scale_mlp)
         x = x + gate_mlp[:, None, :] * Mlp(
             self.hidden_size, self.mlp_ratio, dtype=self.dtype,

@@ -1,0 +1,99 @@
+"""Tests for diffusion utils, visualizers, pose interpolation, video writer,
+saving helpers."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import norm as scipy_norm
+
+from open_diffusiongs_tpu.diffusion.diffusion_utils import (
+    approx_standard_normal_cdf, discretized_gaussian_log_likelihood,
+    normal_kl)
+from open_diffusiongs_tpu.utils.pose_interp import (
+    get_interpolated_poses_many, quat_to_rotmat, quaternion_slerp,
+    rotmat_to_quat)
+from open_diffusiongs_tpu.utils.video import write_mjpeg_avi
+from open_diffusiongs_tpu.utils.visualizers import colormap, depth_to_rgb
+
+
+def test_normal_kl_zero_for_same():
+    m = jnp.asarray([0.3, -1.0])
+    lv = jnp.asarray([0.1, -0.5])
+    np.testing.assert_allclose(np.asarray(normal_kl(m, lv, m, lv)), 0.0,
+                               atol=1e-7)
+
+
+def test_normal_kl_standard_formula(rng):
+    m1, lv1 = 0.5, 0.2
+    got = float(normal_kl(jnp.asarray(m1), jnp.asarray(lv1),
+                          jnp.asarray(0.0), jnp.asarray(0.0)))
+    expect = 0.5 * (-1 - lv1 + np.exp(lv1) + m1 ** 2)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_approx_cdf():
+    x = jnp.linspace(-3, 3, 13)
+    got = np.asarray(approx_standard_normal_cdf(x))
+    expect = scipy_norm.cdf(np.asarray(x))
+    np.testing.assert_allclose(got, expect, atol=5e-3)
+
+
+def test_discretized_ll_peaks_at_mean():
+    x = jnp.asarray([0.0])
+    hi = discretized_gaussian_log_likelihood(
+        x, means=jnp.asarray([0.0]), log_scales=jnp.asarray([-3.0]))
+    lo = discretized_gaussian_log_likelihood(
+        x, means=jnp.asarray([0.5]), log_scales=jnp.asarray([-3.0]))
+    assert float(hi[0]) > float(lo[0])
+
+
+def test_quat_roundtrip(rng):
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q = q / np.linalg.norm(q)
+        R = quat_to_rotmat(q)
+        q2 = rotmat_to_quat(R)
+        # q and -q are the same rotation
+        assert min(np.abs(q - q2).max(), np.abs(q + q2).max()) < 1e-6
+
+
+def test_slerp_endpoints(rng):
+    q0 = rng.normal(size=4); q0 /= np.linalg.norm(q0)
+    q1 = rng.normal(size=4); q1 /= np.linalg.norm(q1)
+    np.testing.assert_allclose(quaternion_slerp(q0, q1, 0.0), q0, atol=1e-6)
+    e = quaternion_slerp(q0, q1, 1.0)
+    assert min(np.abs(e - q1).max(), np.abs(e + q1).max()) < 1e-6
+
+
+def test_interpolated_path_valid(rng):
+    poses = []
+    for ang in (0.0, 0.5, 1.0):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [np.cos(ang), np.sin(ang), 0.0]
+        poses.append(c2w)
+    path = get_interpolated_poses_many(np.stack(poses), 5)
+    assert path.shape == (11, 4, 4)
+    R = path[:, :3, :3]
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), R.shape), atol=1e-5)
+
+
+def test_mjpeg_avi(tmp_path, rng):
+    frames = [(rng.uniform(0, 255, (32, 48, 3))).astype(np.uint8)
+              for _ in range(5)]
+    path = str(tmp_path / "v.avi")
+    write_mjpeg_avi(path, frames, fps=10)
+    data = open(path, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert b"movi" in data and b"MJPG" in data
+    assert len(data) > 2000
+
+
+def test_colormap(rng):
+    v = rng.uniform(size=(8, 8))
+    c = colormap(v)
+    assert c.shape == (8, 8, 3)
+    assert c.min() >= 0 and c.max() <= 1
+    d = depth_to_rgb(v)
+    assert d.dtype == np.uint8
