@@ -250,6 +250,76 @@ int mesh_largest_component(const float* verts, int64_t n_verts,
   return 0;
 }
 
+// Vertex-clustering decimation: quantize vertices onto a `cells^3` grid
+// over the bbox, merge vertices per cell (averaged position), drop
+// degenerate triangles.  Approximate stand-in for pymeshlab's quadric
+// decimation (utils/mesh_utils.py decimate_mesh:44-85); callers pick
+// `cells` iteratively to hit a target triangle count (ops/mesh.py).
+int mesh_decimate_cluster(const float* verts, int64_t n_verts,
+                          const int32_t* tris, int64_t n_tris, int cells,
+                          float** out_verts, int64_t* out_n_verts,
+                          int32_t** out_tris, int64_t* out_n_tris) {
+  if (n_verts == 0) return 1;
+  float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < n_verts; i++)
+    for (int c = 0; c < 3; c++) {
+      float v = verts[3 * i + c];
+      if (v < mn[c]) mn[c] = v;
+      if (v > mx[c]) mx[c] = v;
+    }
+  float inv[3];
+  for (int c = 0; c < 3; c++) {
+    float ext = mx[c] - mn[c];
+    inv[c] = ext > 0 ? (cells - 1) / ext : 0.0f;
+  }
+  std::unordered_map<uint64_t, int32_t> cell_to_new;
+  std::vector<int32_t> remap(n_verts);
+  std::vector<double> acc;   // xyz sums per new vertex
+  std::vector<int32_t> cnt;
+  for (int64_t i = 0; i < n_verts; i++) {
+    uint64_t cx = (uint64_t)((verts[3 * i] - mn[0]) * inv[0] + 0.5f);
+    uint64_t cy = (uint64_t)((verts[3 * i + 1] - mn[1]) * inv[1] + 0.5f);
+    uint64_t cz = (uint64_t)((verts[3 * i + 2] - mn[2]) * inv[2] + 0.5f);
+    uint64_t key = (cx * cells + cy) * cells + cz;
+    auto it = cell_to_new.find(key);
+    int32_t ni;
+    if (it == cell_to_new.end()) {
+      ni = static_cast<int32_t>(cnt.size());
+      cell_to_new.emplace(key, ni);
+      acc.resize(acc.size() + 3, 0.0);
+      cnt.push_back(0);
+    } else {
+      ni = it->second;
+    }
+    remap[i] = ni;
+    for (int c = 0; c < 3; c++) acc[3 * ni + c] += verts[3 * i + c];
+    cnt[ni]++;
+  }
+  int64_t nv = static_cast<int64_t>(cnt.size());
+  std::vector<float> new_verts(nv * 3);
+  for (int64_t i = 0; i < nv; i++)
+    for (int c = 0; c < 3; c++)
+      new_verts[3 * i + c] = static_cast<float>(acc[3 * i + c] / cnt[i]);
+  std::vector<int32_t> new_tris;
+  new_tris.reserve(n_tris * 3);
+  for (int64_t t = 0; t < n_tris; t++) {
+    int32_t a = remap[tris[3 * t]], b = remap[tris[3 * t + 1]],
+            c = remap[tris[3 * t + 2]];
+    if (a == b || b == c || a == c) continue;
+    new_tris.push_back(a);
+    new_tris.push_back(b);
+    new_tris.push_back(c);
+  }
+  *out_n_verts = nv;
+  *out_n_tris = static_cast<int64_t>(new_tris.size() / 3);
+  *out_verts = static_cast<float*>(malloc(new_verts.size() * sizeof(float)));
+  *out_tris =
+      static_cast<int32_t*>(malloc(new_tris.size() * sizeof(int32_t)));
+  std::memcpy(*out_verts, new_verts.data(), new_verts.size() * sizeof(float));
+  std::memcpy(*out_tris, new_tris.data(), new_tris.size() * sizeof(int32_t));
+  return 0;
+}
+
 void mesh_free(void* p) { free(p); }
 
 }  // extern "C"

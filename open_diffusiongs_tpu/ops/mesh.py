@@ -49,6 +49,7 @@ def _lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64)]
     lib.mesh_largest_component.restype = ctypes.c_int
+    lib.mesh_decimate_cluster.restype = ctypes.c_int
     lib.mesh_free.restype = None
     lib.mesh_free.argtypes = [ctypes.c_void_p]
     return lib
@@ -96,6 +97,43 @@ def largest_component(verts: np.ndarray, tris: np.ndarray
     remap = np.full(len(verts), -1, np.int32)
     remap[used] = np.arange(len(used), dtype=np.int32)
     return verts[used], remap[tris]
+
+
+def decimate_mesh(verts: np.ndarray, tris: np.ndarray,
+                  target_tris: int = 100_000, max_iters: int = 8
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vertex-clustering decimation toward a target triangle count
+    (decimate_mesh, utils/mesh_utils.py:44-85 — quadric decimation in the
+    reference; clustering here, chosen for a dependency-free native impl)."""
+    if len(tris) <= target_tris:
+        return verts, tris
+    lib = _lib()
+    cells = 256
+    cur_v, cur_t = verts, tris
+    for _ in range(max_iters):
+        vp = ctypes.POINTER(ctypes.c_float)()
+        tp = ctypes.POINTER(ctypes.c_int32)()
+        nv = ctypes.c_int64()
+        nt = ctypes.c_int64()
+        rc = lib.mesh_decimate_cluster(
+            np.ascontiguousarray(verts, np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(len(verts)),
+            np.ascontiguousarray(tris, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(len(tris)), ctypes.c_int(cells),
+            ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+            ctypes.byref(nt))
+        assert rc == 0
+        cur_v = np.ctypeslib.as_array(vp, (nv.value, 3)).copy()
+        cur_t = np.ctypeslib.as_array(tp, (nt.value, 3)).copy() \
+            if nt.value else np.zeros((0, 3), np.int32)
+        lib.mesh_free(ctypes.cast(vp, ctypes.c_void_p))
+        lib.mesh_free(ctypes.cast(tp, ctypes.c_void_p))
+        if len(cur_t) <= target_tris or cells <= 8:
+            break
+        cells = max(8, int(cells / (len(cur_t) / target_tris) ** (1 / 3)))
+    return cur_v.astype(np.float32), cur_t
 
 
 def gaussian_density_grid(g: NumpyGaussians, resolution: int = 256,
@@ -172,7 +210,8 @@ def gaussian_density_grid(g: NumpyGaussians, resolution: int = 256,
 
 
 def extract_mesh(g: NumpyGaussians, density_thresh: float = 0.005,
-                 resolution: int = 256, keep_largest: bool = True
+                 resolution: int = 256, keep_largest: bool = True,
+                 decimate_target: int = 100_000
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Gaussians -> (verts [V, 3] world-space, tris [F, 3])
     (extract_mesh, gs_core.py:855-869)."""
@@ -180,6 +219,8 @@ def extract_mesh(g: NumpyGaussians, density_thresh: float = 0.005,
     verts, tris = marching_tets(grid, density_thresh)
     if keep_largest and len(tris):
         verts, tris = largest_component(verts, tris)
+    if decimate_target and decimate_target > 0:
+        verts, tris = decimate_mesh(verts, tris, decimate_target)
     # grid coords -> [-1, 1] -> world
     verts = verts / (resolution - 1.0) * 2.0 - 1.0
     verts = verts / scale + center

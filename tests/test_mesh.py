@@ -90,3 +90,16 @@ def test_extract_mesh_end_to_end(tmp_path):
     save_mesh_obj(path, verts, tris)
     head = open(path).readline()
     assert head.startswith("v ")
+
+
+def test_decimate_mesh():
+    from open_diffusiongs_tpu.ops.mesh import decimate_mesh
+    grid = _sphere_grid(64, 0.6)
+    verts, tris = marching_tets(grid, 0.0)
+    assert len(tris) > 4000
+    v2, t2 = decimate_mesh(verts, tris, target_tris=1000)
+    assert len(t2) <= max(1500, len(tris) // 3)
+    # still a sphere-ish shell
+    w = v2 / 63 * 2 - 1
+    rad = np.linalg.norm(w, axis=1)
+    assert abs(rad.mean() - 0.6) < 0.05
