@@ -49,6 +49,37 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def dit_tp_rule(path_keys, leaf) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for one leaf of the
+    scanned DiT (params stacked [L, ...]): attention qkv / MLP fc1 split on
+    the output (head/hidden) dim, proj / fc2 on the input dim — XLA inserts
+    the all-reduces.  Anything unrecognized is replicated.  Applied by path
+    so it also shards matching optimizer-moment leaves.  (The reference has
+    no TP, SURVEY.md §2.3; this activates the reserved `model` axis.)"""
+    j = "/".join(path_keys)
+    nd = getattr(leaf, "ndim", 0)
+    if ("attn/qkv/kernel" in j or "mlp/fc1/kernel" in j) and nd == 3:
+        return P(None, None, MODEL_AXIS)
+    if ("attn/qkv/bias" in j or "mlp/fc1/bias" in j) and nd == 2:
+        return P(None, MODEL_AXIS)
+    if ("attn/proj/kernel" in j or "mlp/fc2/kernel" in j) and nd == 3:
+        return P(None, MODEL_AXIS, None)
+    return P()
+
+
+def tensor_parallel_state_sharding(mesh: Mesh, state) -> "Any":
+    """NamedShardings for a whole TrainState under DiT tensor parallelism:
+    every leaf (params, EMA, optimizer moments) is sharded by dit_tp_rule
+    based on its tree path."""
+    import jax
+
+    def shard(path, leaf):
+        keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        return NamedSharding(mesh, dit_tp_rule(keys, leaf))
+
+    return jax.tree_util.tree_map_with_path(shard, state)
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """Per-process slice of the global batch (multi-host data loading)."""
     per = global_batch // jax.process_count()

@@ -85,11 +85,14 @@ def init_train_state(params, tx: optax.GradientTransformation,
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     ema_decay: Optional[float] = 0.9999,
-                    donate: bool = True):
+                    donate: bool = True,
+                    state_shardings=None):
     """loss_fn(params, batch, rng, step) -> (loss, metrics).
 
     Returns a jitted `train_step(state, batch, rng) -> (state, metrics)`.
-    With a mesh, state is replicated and the batch is sharded on `data`.
+    With a mesh, the batch is sharded on `data` and the state is replicated
+    unless `state_shardings` (a TrainState-shaped pytree of NamedShardings,
+    e.g. from mesh.tensor_parallel_state_sharding) says otherwise.
     """
 
     def train_step(state: TrainState, batch, rng):
@@ -116,9 +119,10 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
