@@ -124,11 +124,17 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
     log_every = int(trainer_cfg.get("log_every_n_steps", 5))
     max_steps = args.max_steps or int(trainer_cfg.get("max_steps", 10 ** 9))
 
+    # global batch over ALL devices; the index stream is seeded identically
+    # on every process so hosts agree on the global batch, and each host
+    # loads only its local slice (mesh.local_batch_slice)
     batch_size = int(cfg.data.get("batch_size", 4)) * jax.device_count()
+    from open_diffusiongs_tpu.parallel.mesh import local_batch_slice
     loader = PrefetchLoader(
         dataset, batch_size=batch_size, shuffle=True,
         num_threads=max(1, int(cfg.data.get("num_workers", 2))),
-        seed=cfg.seed + jax.process_index())
+        seed=cfg.seed,
+        process_slice=(local_batch_slice(batch_size)
+                       if jax.process_count() > 1 else None))
 
     step_fn = make_train_step(system.train_loss, tx, mesh=mesh)
     rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -145,32 +151,35 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
 
     t0 = time.time()
     drop = {"uid"}
+    # host-side step counter: fetching state.step every iteration would
+    # force a device sync per step and serialize dispatch against compute
+    step = int(state.step)
     with mesh:
         for batch in loader:
-            step = int(state.step)
             if step >= max_steps:
                 break
             device_batch = shard_batch(
                 mesh, {k: v for k, v in batch.items() if k not in drop})
             state, metrics = step_fn(state, device_batch, rng)
-            if (step + 1) % log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+            step += 1
+            if step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}  # syncs here
                 dt = time.time() - t0
                 t0 = time.time()
                 m["steps_per_sec"] = log_every / dt
                 if is_main:
                     line = " ".join(f"{k}={v:.4g}" for k, v in
                                     sorted(m.items()))
-                    print(f"step {step + 1}: {line}", flush=True)
-                    _append_csv(csv_path, step + 1, m)
+                    print(f"step {step}: {line}", flush=True)
+                    _append_csv(csv_path, step, m)
                     if writer:
                         for k, v in m.items():
-                            writer.scalar(f"train/{k}", v, step + 1)
-            ckpt.maybe_save(state)
-    ckpt.maybe_save(state, force=True)
+                            writer.scalar(f"train/{k}", v, step)
+            ckpt.maybe_save(state, step=step)
+    ckpt.maybe_save(state, force=True, step=step)
     ckpt.wait()
     if is_main:
-        print(f"training done at step {int(state.step)}")
+        print(f"training done at step {step}")
 
 
 def validate(cfg, args, system, state, dataset, mesh, is_main):

@@ -38,7 +38,11 @@ class PrefetchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_threads: int = 2, prefetch: int = 4, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 process_slice: Optional[slice] = None):
+        """process_slice: multi-host mode — the index stream (seeded the
+        same on every host) describes the GLOBAL batch; each host only
+        loads/collates its `process_slice` of it (mesh.local_batch_slice)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,6 +50,7 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        self.process_slice = process_slice
 
     def _index_stream(self) -> Iterator[List[int]]:
         n = len(self.dataset)
@@ -84,6 +89,8 @@ class PrefetchLoader:
                     except StopIteration:
                         q.put(SENTINEL)
                         return
+                if self.process_slice is not None:
+                    idxs = idxs[self.process_slice]
                 batch = collate([self.dataset[i] for i in idxs])
                 while not stop.is_set():
                     try:

@@ -26,6 +26,7 @@ import dataclasses
 import json
 import os
 import random
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -133,9 +134,20 @@ class ObjaverseDataset:
         self.split = split
         with open(os.path.join(cfg.local_dir, f"{split}.json")) as f:
             self.uids = json.load(f)
-        self.rng = random.Random(seed)
+        self.seed = seed
+        # loader threads call __getitem__ concurrently: a shared Random
+        # would interleave its state non-deterministically, so each draw
+        # gets its own Random keyed by (seed, index, draw counter)
+        self._draw_lock = threading.Lock()
+        self._draws = 0
         f_ = cfg.default_fxfy
         self.fxfycxcy = np.asarray([f_, f_, 0.5, 0.5], np.float32)
+
+    def _rng(self) -> random.Random:
+        with self._draw_lock:
+            self._draws += 1
+            n = self._draws
+        return random.Random((self.seed << 32) ^ (n * 0x9E3779B97F4A7C15))
 
     def __len__(self):
         return len(self.uids)
@@ -143,12 +155,13 @@ class ObjaverseDataset:
     def _get_data(self, index: int) -> Dict[str, Any]:
         cfg = self.cfg
         uid = self.uids[index]
+        rng = self._rng()
         if cfg.gen_rel_idxs:
-            sel_gen = pick_even_view_indices(cfg.gen_views, self.rng)
+            sel_gen = pick_even_view_indices(cfg.gen_views, rng)
         else:
             sel_gen = list(cfg.gen_idxs)
         remaining = [i for i in cfg.all_idxs if i not in set(sel_gen)]
-        sel_train = self.rng.sample(remaining, k=cfg.sel_views)
+        sel_train = rng.sample(remaining, k=cfg.sel_views)
         all_idxs = sel_gen + sel_train
 
         rgbs, masks, depths, c2ws = [], [], [], []
@@ -219,4 +232,4 @@ class ObjaverseDataset:
             return self._get_data(index)
         except Exception as e:  # skip-bad-sample policy (data/base.py:245-250)
             print(f"Error in {self.uids[index]}: {e}")
-            return self[self.rng.randrange(len(self))]
+            return self[self._rng().randrange(len(self))]

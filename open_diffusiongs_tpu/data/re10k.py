@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -71,7 +72,9 @@ class RE10KDataset:
             cfg = RE10KConfig(**cfg)
         self.cfg = cfg
         self.split = split
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self._draw_lock = threading.Lock()
+        self._draws = 0
         path = cfg.local_dir if split == "train" else cfg.local_eval_dir
         with open(path) as f:
             uids = [l.strip() for l in f.read().splitlines() if l.strip()]
@@ -89,6 +92,14 @@ class RE10KDataset:
 
     def __len__(self):
         return len(self.uids)
+
+    def _rng(self) -> random.Random:
+        # thread-safe per-draw rng (loader threads call __getitem__
+        # concurrently; see data/objaverse.py)
+        with self._draw_lock:
+            self._draws += 1
+            n = self._draws
+        return random.Random((self.seed << 32) ^ (n * 0x9E3779B97F4A7C15))
 
     def _preprocess_frames(self, frames, image_paths):
         cfg = self.cfg
@@ -129,7 +140,7 @@ class RE10KDataset:
             vi = self.view_idx_list[scene_name]
             image_indices = list(vi["context"][:1]) + list(vi["target"])
         else:
-            image_indices = self.rng.sample(
+            image_indices = self._rng().sample(
                 range(len(frames)), cfg.sel_views + cfg.sel_views_train)
         chosen = [frames[i] for i in image_indices]
         paths = [f["image_path"] for f in chosen]
@@ -153,4 +164,4 @@ class RE10KDataset:
             return self._get_data(index)
         except Exception as e:
             print(f"Error in {self.uids[index]}: {e}")
-            return self[self.rng.randrange(len(self))]
+            return self[self._rng().randrange(len(self))]

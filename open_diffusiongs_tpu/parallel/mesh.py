@@ -44,9 +44,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch dict with the batch axis on `data`."""
+    """Device-put a host batch dict with the batch axis on `data`.
+
+    Single-process: a plain device_put of the global batch.  Multi-process:
+    each host passes its LOCAL slice of the global batch (see
+    local_batch_slice / PrefetchLoader(process_slice=...)) and the global
+    array is assembled across processes."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def put(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(put, batch)
 
 
 def dit_tp_rule(path_keys, leaf) -> P:

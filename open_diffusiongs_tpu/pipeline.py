@@ -86,27 +86,15 @@ def preprocess_image(image: Image.Image, foreground_ratio: float = 0.85,
 
 def object_camera_template(n_views: int = 4, radius: float = 3.0,
                            elevation_deg: float = 5.0, h: int = 256,
-                           w: int = 256, fov_deg: float = 39.6):
+                           w: int = 256):
     """4-view template: view 0 = input, views 1..3 = evenly spaced azimuths
-    (camera_template.pt stand-in; pipline_obj.py:269-287).  The default fov
-    matches GObjaverse's fxfy = 1422.222/1024 * res."""
-    f = 1422.222 / 1024.0 * w
-    ele = np.radians(elevation_deg)
-    c2ws, fxy = [], []
-    for i in range(n_views):
-        ang = 2 * np.pi * i / n_views
-        eye = np.asarray([radius * np.cos(ele) * np.cos(ang),
-                          radius * np.cos(ele) * np.sin(ang),
-                          radius * np.sin(ele)])
-        z = -eye / np.linalg.norm(eye)
-        up = np.asarray([0.0, 0.0, 1.0])
-        x = np.cross(z, up); x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        c2w = np.eye(4)
-        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, eye
-        c2ws.append(c2w)
-        fxy.append([f, f, w / 2.0, h / 2.0])
-    return (np.stack(c2ws).astype(np.float32), np.asarray(fxy, np.float32))
+    (camera_template.pt stand-in; pipline_obj.py:269-287).  Focal matches
+    GObjaverse's fxfy = 1422.222/1024 * res; orbit built by the canonical
+    constructor in utils.saving."""
+    from .utils.saving import turntable_cameras
+    return turntable_cameras(n_views, radius=radius,
+                             elevation_deg=elevation_deg, h=h, w=w,
+                             focal=1422.222 / 1024.0 * w)
 
 
 class DiffusionGSPipeline:

@@ -52,6 +52,9 @@ class ObjectSystemConfig:
     lambda_xyz: Any = (150, 0.0, 0.025, 151)
     use_lpips: bool = True
     lpips_weights: Optional[str] = None
+    # random-init VGG is harmful as a loss; require explicit opt-in to use
+    # LPIPS without converted pretrained weights
+    allow_random_lpips: bool = False
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     raster: rasterize.RasterizeConfig = rasterize.RasterizeConfig()
     # model config passed straight to DGSDenoiser
@@ -77,6 +80,16 @@ class ObjectSystem:
         self.lpips_params = (
             losses_lib.lpips_init_params(cfg.lpips_weights)
             if cfg.use_lpips else None)
+        if (self.lpips_params is not None
+                and not self.lpips_params["pretrained"]
+                and not cfg.allow_random_lpips):
+            # The reference always uses pretrained lpips-VGG; optimizing
+            # against a random network would silently corrupt training.
+            print("[open_diffusiongs_tpu] WARNING: LPIPS disabled — no "
+                  "pretrained weights (set system.lpips_weights to an NPZ "
+                  "from tools/convert_lpips_weights.py, or "
+                  "allow_random_lpips=true to override).")
+            self.lpips_params = None
 
     # -- initialization ----------------------------------------------------
     def init_params(self, rng: jax.Array, h: int, w: int, v: int = 4):
@@ -86,6 +99,11 @@ class ObjectSystem:
         return self.model.init(rng, imgs, rays, rays, t)
 
     # -- training ----------------------------------------------------------
+    def _gt_xyz(self, batch, ray_o, ray_d) -> Optional[jnp.ndarray]:
+        """Ground-truth pixel points from depth (object data has depth;
+        the scene system overrides this to None)."""
+        return ray_o + ray_d * batch["depths_input"].astype(jnp.float32)
+
     def train_loss(self, params, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, step) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         cfg = self.cfg
@@ -100,12 +118,15 @@ class ObjectSystem:
         noisy = q_sample(self.sched_train, images[:, 1:], t, noise[:, 1:])
         x = jnp.concatenate([images[:, :1], noisy], axis=1)
 
+        # training=False: the reference never passes training=True, so its
+        # clip_xyz clamp NEVER fires in its training path either
+        # (image_to_gaussians call sites, diffusion_gs_system.py:90)
         gaussians, img_xyz = self.model.apply(
-            params, x, ray_o, ray_d, t, training=True)
+            params, x, ray_o, ray_d, t, training=False)
         out = rasterize.render(gaussians, batch["c2ws"], batch["fxfycxcys"],
                                h, w, bg_color=cfg.bg_color, cfg=cfg.raster)
 
-        gt_xyz = ray_o + ray_d * batch["depths_input"].astype(jnp.float32)
+        gt_xyz = self._gt_xyz(batch, ray_o, ray_d)
         lo = losses_lib.compute_losses(
             out["render"], batch["rgbs"].astype(jnp.float32), ray_o,
             img_aligned_xyz=img_xyz, gt_img_aligned_xyz=gt_xyz,
@@ -166,8 +187,11 @@ class ObjectSystem:
         loop_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w,
                                      skip_cond_render=n_cond)
         final_fn = self.make_model_fn(params, c2w, fxfycxcy, h, w)
+        # clip_denoised=False: every reference sampling call site disables
+        # the [-1, 1] clamp (pipline_obj.py:302, diffusion_gs_system.py:176)
         out = p_sample_loop(self.sched_infer, loop_fn,
                             cond_images.astype(jnp.float32), noise, rng_loop,
+                            clip_denoised=False,
                             return_trajectory=return_trajectory,
                             final_model_fn=final_fn)
         gaussians, alpha = out.pop("aux")

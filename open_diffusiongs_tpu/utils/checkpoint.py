@@ -34,9 +34,16 @@ class CheckpointManager:
             max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True)
         self.mngr = ocp.CheckpointManager(self.directory, options=options)
 
-    def maybe_save(self, state: TrainState, force: bool = False) -> bool:
-        step = int(state.step)
+    def maybe_save(self, state: TrainState, force: bool = False,
+                   step: Optional[int] = None) -> bool:
+        """Save every_n steps (or always when force).  `step` avoids a
+        device sync when the caller tracks it host-side.  Re-saving an
+        already-saved step is a no-op (a forced final save after a periodic
+        one would otherwise raise in orbax)."""
+        step = int(state.step) if step is None else int(step)
         if not force and step % self.every_n != 0:
+            return False
+        if step in (self.mngr.all_steps() or []):
             return False
         self.mngr.save(step, args=ocp.args.StandardSave(_to_save(state)))
         return True

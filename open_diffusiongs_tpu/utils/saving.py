@@ -63,10 +63,13 @@ def chw_to_hwc(x: np.ndarray) -> np.ndarray:
 
 def turntable_cameras(n_frames: int = 60, radius: float = 2.7,
                       elevation_deg: float = 15.0, h: int = 512, w: int = 512,
-                      fov_deg: float = 40.0):
+                      fov_deg: float = 40.0, focal: float = None):
     """Orbit c2ws (OpenCV convention, z-up world) for turntable videos
-    (render_turntable, gs_core.py:1201-1219 spirit)."""
-    f = 0.5 * w / np.tan(np.radians(fov_deg) / 2)
+    (render_turntable, gs_core.py:1201-1219 spirit).  The single canonical
+    orbit constructor — pipeline camera templates wrap this (a focal
+    override replaces the fov)."""
+    f = focal if focal is not None \
+        else 0.5 * w / np.tan(np.radians(fov_deg) / 2)
     ele = np.radians(elevation_deg)
     c2ws, fxy = [], []
     for i in range(n_frames):
