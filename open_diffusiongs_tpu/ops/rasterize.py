@@ -61,7 +61,7 @@ class RasterizeConfig(NamedTuple):
     """
 
     max_tiles_per_gaussian: int = 16
-    max_per_tile: int = 512
+    max_per_tile: int = 1024   # docs/CAPACITY.md: measured accuracy vs K
     blend_chunk: int = 32
     # rematerialize each view's rasterization in backward instead of saving
     # the blend intermediates (the reference's DeferredGaussianRender memory
@@ -131,6 +131,7 @@ class TileBins(NamedTuple):
     mask: jnp.ndarray       # [T, K] bool
     overflow_tiles: jnp.ndarray      # [] int32: rect tiles beyond D
     overflow_gaussians: jnp.ndarray  # [] int32: per-tile entries beyond K
+    entries: jnp.ndarray             # [] int32: total binned entries
 
 
 def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
@@ -164,32 +165,68 @@ def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
         jnp.where(valid_d, jnp.maximum(area - d_slots, 0), 0))
 
     s = jnp.arange(d_slots, dtype=jnp.int32)               # [D]
-    # row-major within rect: slot s -> (s % rw, s // rw)
+    # row-major within rect: slot s -> (s % rw, s // rw).  Integer div/mod
+    # by a runtime divisor lowers to ~30 VPU ops each (measured ~20ms/view
+    # at 512^2); an unrolled incremental walk over the D slots is ~2 ops
+    # per step.
     safe_rw = jnp.maximum(rw, 1)
-    off_x = s[None, :] % safe_rw[:, None]
-    off_y = s[None, :] // safe_rw[:, None]
+    ox = jnp.zeros_like(rw)
+    oy = jnp.zeros_like(rw)
+    off_cols = []
+    for _ in range(d_slots):
+        off_cols.append((ox, oy))
+        nx1 = ox + 1
+        wrap = nx1 >= safe_rw
+        ox = jnp.where(wrap, 0, nx1)
+        oy = oy + wrap.astype(oy.dtype)
+    off_x = jnp.stack([c[0] for c in off_cols], axis=1)    # [N, D]
+    off_y = jnp.stack([c[1] for c in off_cols], axis=1)
     tx = rect_d[:, 0:1] + off_x
     ty = rect_d[:, 1:2] + off_y
     slot_ok = (s[None, :] < area[:, None]) & valid_d[:, None]
     tile_id = jnp.where(slot_ok, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    gidx = jnp.broadcast_to(order[:, None], (n, d_slots))
+    rank_bits = max(1, (n - 1).bit_length())               # depth rank < n
+    tile_bits = (num_tiles + 1 - 1).bit_length()           # incl. sentinel
+    if rank_bits + tile_bits <= 32:
+        # Pack (tile, depth-rank) into ONE uint32 key and sort a single
+        # array: same order as the stable (tile, depth) sort (ranks are
+        # unique so stability is moot), at half the sort data movement.
+        rank = jnp.arange(n, dtype=jnp.uint32)
+        key = ((tile_id.astype(jnp.uint32) << rank_bits)
+               | rank[:, None]).reshape(-1)
+        key_s = jax.lax.sort(key, is_stable=False)
+        tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
+        bounds = jnp.searchsorted(key_s, tids, side="left").astype(jnp.int32)
+        starts, ends = bounds[:-1], bounds[1:]
+        # defer rank extraction + the rank -> original-index mapping to
+        # after the [T, K] gather (T*K elements instead of N*D)
+        rank_s = None
+        idx_s = None
+    else:  # shapes too large for 32-bit packing: two-array stable sort
+        gidx = jnp.broadcast_to(order[:, None], (n, d_slots))
+        tile_s, idx_s = jax.lax.sort(
+            (tile_id.reshape(-1), gidx.reshape(-1)), num_keys=1,
+            is_stable=True)
+        tids = jnp.arange(num_tiles, dtype=jnp.int32)
+        starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(tile_s, tids + 1, side="left").astype(jnp.int32)
 
-    tile_s, idx_s = jax.lax.sort(
-        (tile_id.reshape(-1), gidx.reshape(-1)), num_keys=1, is_stable=True)
-
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tids + 1, side="left").astype(jnp.int32)
     counts = ends - starts
+    entries = jnp.sum(counts)
     overflow_gaussians = jnp.sum(jnp.maximum(counts - cfg.max_per_tile, 0))
 
     k = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
     gather_pos = jnp.clip(starts[:, None] + k[None, :], 0, n * d_slots - 1)
-    idx_mat = idx_s[gather_pos]                            # [T, K]
+    if idx_s is None:
+        key_g = key_s[gather_pos]                          # [T, K]
+        rank_g = (key_g & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
+        idx_mat = order[rank_g]
+    else:
+        idx_mat = idx_s[gather_pos]                        # [T, K]
     mask = k[None, :] < jnp.minimum(counts, cfg.max_per_tile)[:, None]
     return TileBins(idx=idx_mat, mask=mask, overflow_tiles=overflow_tiles,
-                    overflow_gaussians=overflow_gaussians)
+                    overflow_gaussians=overflow_gaussians, entries=entries)
 
 
 def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
@@ -303,7 +340,7 @@ def rasterize_single_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
         mask=checkpoint_name(bins.mask, "raster_bins_mask"))
     color, alpha, depth = blend_tiles(pre, bins, tiles_x, tiles_y, bg, cfg)
     return (color[:h, :w], alpha[:h, :w], depth[:h, :w],
-            bins.overflow_tiles, bins.overflow_gaussians)
+            bins.overflow_tiles, bins.overflow_gaussians, bins.entries)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "cfg", "channels_first"))
@@ -345,13 +382,14 @@ def render(gaussians: Gaussians, c2w: jnp.ndarray, fxfycxcy: jnp.ndarray,
         # per-view transients don't multiply
         return jax.lax.map(one_view, cams)
 
-    color, alpha, depth, otile, ogauss = jax.lax.map(
+    color, alpha, depth, otile, ogauss, entries = jax.lax.map(
         lambda args: render_scene(*args), (tuple(gaussians), c2w, fxfycxcy))
     out = {
         "alpha": alpha[:, :, None],
         "depth": depth[:, :, None],
         "overflow_tiles": jnp.sum(otile),
         "overflow_gaussians": jnp.sum(ogauss),
+        "binned_entries": jnp.sum(entries),
     }
     if channels_first:
         out["render"] = color.transpose(0, 1, 4, 2, 3)
