@@ -17,9 +17,11 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <queue>
 #include <unordered_map>
 #include <vector>
 
@@ -317,6 +319,474 @@ int mesh_decimate_cluster(const float* verts, int64_t n_verts,
       static_cast<int32_t*>(malloc(new_tris.size() * sizeof(int32_t)));
   std::memcpy(*out_verts, new_verts.data(), new_verts.size() * sizeof(float));
   std::memcpy(*out_tris, new_tris.data(), new_tris.size() * sizeof(int32_t));
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Quadric edge-collapse decimation (Garland-Heckbert), the native
+// counterpart of pymeshlab meshing_decimation_quadric_edge_collapse
+// (utils/mesh_utils.py decimate_mesh:44-85).  Area-weighted plane quadrics,
+// boundary-constraint quadrics, optimal vertex placement with
+// midpoint/endpoint fallback, lazy-invalidation heap, normal-flip guard.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Quadric {
+  // symmetric 4x4: xx xy xz xw yy yz yw zz zw ww
+  double q[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+  void add_plane(double nx, double ny, double nz, double d, double w) {
+    q[0] += w * nx * nx; q[1] += w * nx * ny; q[2] += w * nx * nz;
+    q[3] += w * nx * d;  q[4] += w * ny * ny; q[5] += w * ny * nz;
+    q[6] += w * ny * d;  q[7] += w * nz * nz; q[8] += w * nz * d;
+    q[9] += w * d * d;
+  }
+  void operator+=(const Quadric& o) {
+    for (int i = 0; i < 10; i++) q[i] += o.q[i];
+  }
+  double eval(double x, double y, double z) const {
+    return q[0] * x * x + 2 * q[1] * x * y + 2 * q[2] * x * z + 2 * q[3] * x +
+           q[4] * y * y + 2 * q[5] * y * z + 2 * q[6] * y +
+           q[7] * z * z + 2 * q[8] * z + q[9];
+  }
+  // solve grad = 0 (3x3 system) -> true if well-conditioned
+  bool optimal(double out[3]) const {
+    double a = q[0], b = q[1], c = q[2], e = q[4], f = q[5], h = q[7];
+    double det = a * (e * h - f * f) - b * (b * h - f * c) +
+                 c * (b * f - e * c);
+    double scale = a + e + h;
+    if (std::fabs(det) < 1e-12 * scale * scale * scale + 1e-30) return false;
+    double rx = -q[3], ry = -q[6], rz = -q[8];
+    out[0] = (rx * (e * h - f * f) + ry * (c * f - b * h) +
+              rz * (b * f - c * e)) / det;
+    out[1] = (rx * (f * c - b * h) + ry * (a * h - c * c) +
+              rz * (b * c - a * f)) / det;
+    out[2] = (rx * (b * f - e * c) + ry * (b * c - a * f) +
+              rz * (a * e - b * b)) / det;
+    return true;
+  }
+};
+
+struct HeapEntry {
+  double cost;
+  int32_t v1, v2;
+  uint32_t ver1, ver2;
+  bool operator<(const HeapEntry& o) const { return cost > o.cost; }  // min-heap
+};
+
+inline void cross3(const double* u, const double* v, double* out) {
+  out[0] = u[1] * v[2] - u[2] * v[1];
+  out[1] = u[2] * v[0] - u[0] * v[2];
+  out[2] = u[0] * v[1] - u[1] * v[0];
+}
+
+}  // namespace
+
+extern "C" {
+
+int mesh_decimate_quadric(const float* verts, int64_t n_verts,
+                          const int32_t* tris, int64_t n_tris,
+                          int64_t target_tris,
+                          float** out_verts, int64_t* out_n_verts,
+                          int32_t** out_tris, int64_t* out_n_tris) {
+  if (n_verts == 0 || n_tris == 0) return 1;
+  std::vector<double> pos(n_verts * 3);
+  for (int64_t i = 0; i < n_verts * 3; i++) pos[i] = verts[i];
+  std::vector<int32_t> f(tris, tris + n_tris * 3);
+  std::vector<uint8_t> face_alive(n_tris, 1);
+  std::vector<uint8_t> vert_alive(n_verts, 1);
+  std::vector<uint32_t> version(n_verts, 0);
+  std::vector<Quadric> Q(n_verts);
+  std::vector<std::vector<int32_t>> vfaces(n_verts);
+
+  // face plane quadrics, area weighted
+  for (int64_t t = 0; t < n_tris; t++) {
+    const int32_t a = f[3 * t], b = f[3 * t + 1], c = f[3 * t + 2];
+    double u[3], v[3], nrm[3];
+    for (int i = 0; i < 3; i++) {
+      u[i] = pos[3 * b + i] - pos[3 * a + i];
+      v[i] = pos[3 * c + i] - pos[3 * a + i];
+    }
+    cross3(u, v, nrm);
+    double len = std::sqrt(nrm[0] * nrm[0] + nrm[1] * nrm[1] +
+                           nrm[2] * nrm[2]);
+    double area = 0.5 * len;
+    if (len < 1e-30) { face_alive[t] = 0; continue; }
+    for (int i = 0; i < 3; i++) nrm[i] /= len;
+    double d = -(nrm[0] * pos[3 * a] + nrm[1] * pos[3 * a + 1] +
+                 nrm[2] * pos[3 * a + 2]);
+    for (int i = 0; i < 3; i++) {
+      Q[f[3 * t + i]].add_plane(nrm[0], nrm[1], nrm[2], d, area);
+      vfaces[f[3 * t + i]].push_back(static_cast<int32_t>(t));
+    }
+  }
+
+  // undirected edge set + face-degree for boundary detection
+  auto ekey = [](int32_t a, int32_t b) -> uint64_t {
+    if (a > b) std::swap(a, b);
+    return (static_cast<uint64_t>(a) << 32) | static_cast<uint32_t>(b);
+  };
+  std::unordered_map<uint64_t, int32_t> edge_deg;
+  for (int64_t t = 0; t < n_tris; t++) {
+    if (!face_alive[t]) continue;
+    for (int i = 0; i < 3; i++)
+      edge_deg[ekey(f[3 * t + i], f[3 * t + (i + 1) % 3])]++;
+  }
+  // boundary constraint quadrics: plane through the edge, perpendicular to
+  // the adjacent face, weighted by edge length^2
+  for (int64_t t = 0; t < n_tris; t++) {
+    if (!face_alive[t]) continue;
+    for (int i = 0; i < 3; i++) {
+      int32_t a = f[3 * t + i], b = f[3 * t + (i + 1) % 3];
+      if (edge_deg[ekey(a, b)] != 1) continue;
+      int32_t c = f[3 * t + (i + 2) % 3];
+      double e[3], u[3], fn[3], pn[3];
+      for (int k = 0; k < 3; k++) {
+        e[k] = pos[3 * b + k] - pos[3 * a + k];
+        u[k] = pos[3 * c + k] - pos[3 * a + k];
+      }
+      cross3(e, u, fn);
+      cross3(e, fn, pn);
+      double len = std::sqrt(pn[0] * pn[0] + pn[1] * pn[1] + pn[2] * pn[2]);
+      if (len < 1e-30) continue;
+      for (int k = 0; k < 3; k++) pn[k] /= len;
+      double d = -(pn[0] * pos[3 * a] + pn[1] * pos[3 * a + 1] +
+                   pn[2] * pos[3 * a + 2]);
+      double el2 = e[0] * e[0] + e[1] * e[1] + e[2] * e[2];
+      Quadric bq;
+      bq.add_plane(pn[0], pn[1], pn[2], d, el2);
+      Q[a] += bq;
+      Q[b] += bq;
+    }
+  }
+
+  std::priority_queue<HeapEntry> heap;
+  auto push_edge = [&](int32_t a, int32_t b) {
+    Quadric q = Q[a];
+    q += Q[b];
+    double p[3] = {(pos[3 * a] + pos[3 * b]) / 2,
+                   (pos[3 * a + 1] + pos[3 * b + 1]) / 2,
+                   (pos[3 * a + 2] + pos[3 * b + 2]) / 2};
+    if (!q.optimal(p)) {
+      // best of endpoints / midpoint
+      double best = 1e300;
+      const double cand[3][3] = {
+          {pos[3 * a], pos[3 * a + 1], pos[3 * a + 2]},
+          {pos[3 * b], pos[3 * b + 1], pos[3 * b + 2]},
+          {(pos[3 * a] + pos[3 * b]) / 2, (pos[3 * a + 1] + pos[3 * b + 1]) / 2,
+           (pos[3 * a + 2] + pos[3 * b + 2]) / 2}};
+      for (auto& cd : cand) {
+        double cost = q.eval(cd[0], cd[1], cd[2]);
+        if (cost < best) { best = cost; p[0] = cd[0]; p[1] = cd[1]; p[2] = cd[2]; }
+      }
+    }
+    heap.push(HeapEntry{q.eval(p[0], p[1], p[2]), a, b,
+                        version[a], version[b]});
+  };
+  for (auto& kv : edge_deg) {
+    int32_t a = static_cast<int32_t>(kv.first >> 32);
+    int32_t b = static_cast<int32_t>(kv.first & 0xffffffffu);
+    push_edge(a, b);
+  }
+
+  int64_t faces_left = 0;
+  for (int64_t t = 0; t < n_tris; t++) faces_left += face_alive[t];
+
+  std::vector<int32_t> scratch;
+  while (faces_left > target_tris && !heap.empty()) {
+    HeapEntry e = heap.top();
+    heap.pop();
+    int32_t v1 = e.v1, v2 = e.v2;
+    if (!vert_alive[v1] || !vert_alive[v2] ||
+        version[v1] != e.ver1 || version[v2] != e.ver2)
+      continue;
+
+    // recompute placement (entry stores only cost)
+    Quadric q = Q[v1];
+    q += Q[v2];
+    double p[3];
+    if (!q.optimal(p)) {
+      p[0] = (pos[3 * v1] + pos[3 * v2]) / 2;
+      p[1] = (pos[3 * v1 + 1] + pos[3 * v2 + 1]) / 2;
+      p[2] = (pos[3 * v1 + 2] + pos[3 * v2 + 2]) / 2;
+    }
+
+    // normal-flip guard over surviving faces of v1 and v2
+    bool flip = false;
+    for (int side = 0; side < 2 && !flip; side++) {
+      int32_t v = side ? v2 : v1;
+      for (int32_t t : vfaces[v]) {
+        if (!face_alive[t]) continue;
+        int32_t i0 = f[3 * t], i1 = f[3 * t + 1], i2 = f[3 * t + 2];
+        bool has1 = (i0 == v1 || i1 == v1 || i2 == v1);
+        bool has2 = (i0 == v2 || i1 == v2 || i2 == v2);
+        if (has1 && has2) continue;  // face dies in the collapse
+        double before[3], after[3];
+        double A[3][3], B[3][3];
+        const int32_t idx[3] = {i0, i1, i2};
+        for (int k = 0; k < 3; k++) {
+          for (int c = 0; c < 3; c++) {
+            A[k][c] = pos[3 * idx[k] + c];
+            B[k][c] = (idx[k] == v1 || idx[k] == v2) ? p[c]
+                                                     : pos[3 * idx[k] + c];
+          }
+        }
+        double u0[3], u1[3], w0[3], w1[3];
+        for (int c = 0; c < 3; c++) {
+          u0[c] = A[1][c] - A[0][c];
+          u1[c] = A[2][c] - A[0][c];
+          w0[c] = B[1][c] - B[0][c];
+          w1[c] = B[2][c] - B[0][c];
+        }
+        cross3(u0, u1, before);
+        cross3(w0, w1, after);
+        double dot = before[0] * after[0] + before[1] * after[1] +
+                     before[2] * after[2];
+        if (dot <= 0) { flip = true; break; }
+      }
+    }
+    if (flip) continue;  // drop this candidate; others remain
+
+    // collapse v2 -> v1 at position p
+    for (int c = 0; c < 3; c++) pos[3 * v1 + c] = p[c];
+    Q[v1] += Q[v2];
+    vert_alive[v2] = 0;
+    version[v1]++;
+    version[v2]++;
+
+    // rewrite v2's faces, kill shared ones, merge incidence
+    for (int32_t t : vfaces[v2]) {
+      if (!face_alive[t]) continue;
+      int32_t* ft = &f[3 * t];
+      bool has1 = (ft[0] == v1 || ft[1] == v1 || ft[2] == v1);
+      if (has1) {
+        face_alive[t] = 0;
+        faces_left--;
+        continue;
+      }
+      for (int i = 0; i < 3; i++)
+        if (ft[i] == v2) ft[i] = v1;
+      vfaces[v1].push_back(t);
+    }
+    vfaces[v2].clear();
+
+    // dedupe v1's incidence and re-push its edges
+    scratch.clear();
+    std::unordered_map<uint64_t, bool> seen_edge;
+    for (int32_t t : vfaces[v1]) {
+      if (!face_alive[t]) continue;
+      scratch.push_back(t);
+      for (int i = 0; i < 3; i++) {
+        int32_t a = f[3 * t + i], b = f[3 * t + (i + 1) % 3];
+        if (a != v1 && b != v1) continue;
+        int32_t other = (a == v1) ? b : a;
+        if (other == v1 || !vert_alive[other]) continue;
+        uint64_t k = ekey(v1, other);
+        if (seen_edge.emplace(k, true).second) push_edge(v1, other);
+      }
+    }
+    vfaces[v1] = scratch;
+  }
+
+  // compact output
+  std::vector<int32_t> remap(n_verts, -1);
+  std::vector<float> nv;
+  std::vector<int32_t> nt;
+  for (int64_t t = 0; t < n_tris; t++) {
+    if (!face_alive[t]) continue;
+    int32_t out_idx[3];
+    bool degen = false;
+    for (int i = 0; i < 3; i++) {
+      int32_t v = f[3 * t + i];
+      if (remap[v] < 0) {
+        remap[v] = static_cast<int32_t>(nv.size() / 3);
+        nv.push_back(static_cast<float>(pos[3 * v]));
+        nv.push_back(static_cast<float>(pos[3 * v + 1]));
+        nv.push_back(static_cast<float>(pos[3 * v + 2]));
+      }
+      out_idx[i] = remap[v];
+    }
+    if (out_idx[0] == out_idx[1] || out_idx[1] == out_idx[2] ||
+        out_idx[0] == out_idx[2])
+      degen = true;
+    if (degen) continue;
+    for (int i = 0; i < 3; i++) nt.push_back(out_idx[i]);
+  }
+  *out_n_verts = static_cast<int64_t>(nv.size() / 3);
+  *out_n_tris = static_cast<int64_t>(nt.size() / 3);
+  *out_verts = static_cast<float*>(malloc(nv.size() * sizeof(float)));
+  *out_tris = static_cast<int32_t*>(malloc(nt.size() * sizeof(int32_t)));
+  if ((!*out_verts && !nv.empty()) || (!*out_tris && !nt.empty())) return 1;
+  std::memcpy(*out_verts, nv.data(), nv.size() * sizeof(float));
+  std::memcpy(*out_tris, nt.data(), nt.size() * sizeof(int32_t));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Mesh cleaning — native counterpart of pymeshlab clean_mesh
+// (utils/mesh_utils.py:88-146): merge close vertices (merge_pct % of bbox
+// diagonal), remove duplicate + degenerate faces, remove small connected
+// components (by face count and by component-diameter % of bbox diagonal),
+// drop unreferenced vertices.  (Isotropic remeshing and non-manifold repair
+// are not replicated — documented divergence, PARITY.md.)
+// ---------------------------------------------------------------------------
+
+int mesh_clean(const float* verts, int64_t n_verts,
+               const int32_t* tris, int64_t n_tris,
+               float merge_pct, float min_diam_pct, int64_t min_faces,
+               float** out_verts, int64_t* out_n_verts,
+               int32_t** out_tris, int64_t* out_n_tris) {
+  if (n_verts == 0) return 1;
+  float mn[3] = {1e30f, 1e30f, 1e30f}, mx[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < n_verts; i++)
+    for (int c = 0; c < 3; c++) {
+      float v = verts[3 * i + c];
+      if (v < mn[c]) mn[c] = v;
+      if (v > mx[c]) mx[c] = v;
+    }
+  double diag = 0;
+  for (int c = 0; c < 3; c++)
+    diag += double(mx[c] - mn[c]) * double(mx[c] - mn[c]);
+  diag = std::sqrt(diag);
+
+  // 1. merge close vertices via spatial hash (threshold = merge_pct% diag)
+  std::vector<int32_t> remap(n_verts);
+  double eps = diag * merge_pct / 100.0;
+  if (eps > 0) {
+    double cell = eps;
+    auto hkey = [&](int64_t cx, int64_t cy, int64_t cz) -> uint64_t {
+      return (static_cast<uint64_t>(cx) * 73856093u) ^
+             (static_cast<uint64_t>(cy) * 19349663u) ^
+             (static_cast<uint64_t>(cz) * 83492791u);
+    };
+    std::unordered_map<uint64_t, std::vector<int32_t>> grid;
+    double eps2 = eps * eps;
+    for (int64_t i = 0; i < n_verts; i++) {
+      int64_t cx = static_cast<int64_t>((verts[3 * i] - mn[0]) / cell);
+      int64_t cy = static_cast<int64_t>((verts[3 * i + 1] - mn[1]) / cell);
+      int64_t cz = static_cast<int64_t>((verts[3 * i + 2] - mn[2]) / cell);
+      int32_t found = -1;
+      for (int64_t dx = -1; dx <= 1 && found < 0; dx++)
+        for (int64_t dy = -1; dy <= 1 && found < 0; dy++)
+          for (int64_t dz = -1; dz <= 1 && found < 0; dz++) {
+            auto it = grid.find(hkey(cx + dx, cy + dy, cz + dz));
+            if (it == grid.end()) continue;
+            for (int32_t j : it->second) {
+              double d2 = 0;
+              for (int c = 0; c < 3; c++) {
+                double d = double(verts[3 * i + c]) - double(verts[3 * j + c]);
+                d2 += d * d;
+              }
+              if (d2 <= eps2) { found = j; break; }
+            }
+          }
+      if (found >= 0) {
+        remap[i] = remap[found];
+      } else {
+        remap[i] = static_cast<int32_t>(i);
+        grid[hkey(cx, cy, cz)].push_back(static_cast<int32_t>(i));
+      }
+    }
+  } else {
+    for (int64_t i = 0; i < n_verts; i++)
+      remap[i] = static_cast<int32_t>(i);
+  }
+
+  // 2. drop degenerate + duplicate faces (same vertex triple, any order)
+  std::unordered_map<uint64_t, bool> face_seen;
+  std::vector<int32_t> kept;
+  kept.reserve(n_tris * 3);
+  for (int64_t t = 0; t < n_tris; t++) {
+    int32_t a = remap[tris[3 * t]], b = remap[tris[3 * t + 1]],
+            c = remap[tris[3 * t + 2]];
+    if (a == b || b == c || a == c) continue;
+    int32_t s0 = a, s1 = b, s2 = c;
+    if (s0 > s1) std::swap(s0, s1);
+    if (s1 > s2) std::swap(s1, s2);
+    if (s0 > s1) std::swap(s0, s1);
+    uint64_t k = (static_cast<uint64_t>(s0) * 2654435761u) ^
+                 (static_cast<uint64_t>(s1) << 21) ^
+                 (static_cast<uint64_t>(s2) << 42);
+    if (!face_seen.emplace(k, true).second) continue;
+    kept.push_back(a);
+    kept.push_back(b);
+    kept.push_back(c);
+  }
+  int64_t nk = static_cast<int64_t>(kept.size() / 3);
+
+  // 3. connected components (union-find over shared vertices); filter by
+  //    face count and by component bbox diameter
+  std::vector<int32_t> parent(n_verts);
+  for (int64_t i = 0; i < n_verts; i++) parent[i] = static_cast<int32_t>(i);
+  struct UF {
+    std::vector<int32_t>& p;
+    int32_t find(int32_t a) {
+      while (p[a] != a) { p[a] = p[p[a]]; a = p[a]; }
+      return a;
+    }
+    void unite(int32_t a, int32_t b) {
+      a = find(a); b = find(b);
+      if (a != b) p[b] = a;
+    }
+  } uf{parent};
+  for (int64_t t = 0; t < nk; t++) {
+    uf.unite(kept[3 * t], kept[3 * t + 1]);
+    uf.unite(kept[3 * t], kept[3 * t + 2]);
+  }
+  struct CompInfo {
+    int64_t faces = 0;
+    float mn[3] = {1e30f, 1e30f, 1e30f};
+    float mx[3] = {-1e30f, -1e30f, -1e30f};
+  };
+  std::unordered_map<int32_t, CompInfo> comps;
+  for (int64_t t = 0; t < nk; t++) {
+    CompInfo& ci = comps[uf.find(kept[3 * t])];
+    ci.faces++;
+    for (int i = 0; i < 3; i++) {
+      const float* p = &verts[3 * kept[3 * t + i]];
+      for (int c = 0; c < 3; c++) {
+        if (p[c] < ci.mn[c]) ci.mn[c] = p[c];
+        if (p[c] > ci.mx[c]) ci.mx[c] = p[c];
+      }
+    }
+  }
+  double min_diam = diag * min_diam_pct / 100.0;
+  std::vector<int32_t> final_tris;
+  final_tris.reserve(kept.size());
+  for (int64_t t = 0; t < nk; t++) {
+    const CompInfo& ci = comps[uf.find(kept[3 * t])];
+    double cd = 0;
+    for (int c = 0; c < 3; c++)
+      cd += double(ci.mx[c] - ci.mn[c]) * double(ci.mx[c] - ci.mn[c]);
+    cd = std::sqrt(cd);
+    if (ci.faces < min_faces || cd < min_diam) continue;
+    for (int i = 0; i < 3; i++) final_tris.push_back(kept[3 * t + i]);
+  }
+
+  // 4. compact: drop unreferenced vertices
+  std::vector<int32_t> vmap(n_verts, -1);
+  std::vector<float> nv;
+  std::vector<int32_t> nt;
+  nt.reserve(final_tris.size());
+  for (size_t i = 0; i < final_tris.size(); i++) {
+    int32_t v = final_tris[i];
+    if (vmap[v] < 0) {
+      vmap[v] = static_cast<int32_t>(nv.size() / 3);
+      nv.push_back(verts[3 * v]);
+      nv.push_back(verts[3 * v + 1]);
+      nv.push_back(verts[3 * v + 2]);
+    }
+    nt.push_back(vmap[v]);
+  }
+  *out_n_verts = static_cast<int64_t>(nv.size() / 3);
+  *out_n_tris = static_cast<int64_t>(nt.size() / 3);
+  *out_verts = static_cast<float*>(malloc(nv.size() * sizeof(float)));
+  *out_tris = static_cast<int32_t*>(malloc(nt.size() * sizeof(int32_t)));
+  if ((!*out_verts && !nv.empty()) || (!*out_tris && !nt.empty())) return 1;
+  std::memcpy(*out_verts, nv.data(), nv.size() * sizeof(float));
+  std::memcpy(*out_tris, nt.data(), nt.size() * sizeof(int32_t));
   return 0;
 }
 

@@ -6,8 +6,12 @@ Replicates the reference mesh-export pipeline (gs_core.py:786-869):
      on a dense grid, blockwise with per-block Gaussian masking,
   3. iso-surface at `density_thresh` (reference: PyMCubes marching cubes;
      here: native C++ marching tetrahedra, native/mesher.cpp, auto-built),
-  4. cleanup (largest component; pymeshlab decimation is replaced by the
-     native component filter — decimation TODO).
+  4. clean_mesh (merge close vertices, duplicate/degenerate faces, small
+     components — pymeshlab clean_mesh equivalent, utils/mesh_utils.py:88-146;
+     isotropic remeshing + non-manifold repair are not replicated),
+  5. quadric edge-collapse decimation to the triangle budget
+     (meshing_decimation_quadric_edge_collapse equivalent,
+     utils/mesh_utils.py:44-85).
 
 The density evaluation runs on-device (jit, static block capacity); the
 geometry stage is host-side C++ via ctypes.
@@ -50,9 +54,21 @@ def _lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_int64)]
     lib.mesh_largest_component.restype = ctypes.c_int
     lib.mesh_decimate_cluster.restype = ctypes.c_int
+    lib.mesh_decimate_quadric.restype = ctypes.c_int
+    lib.mesh_clean.restype = ctypes.c_int
     lib.mesh_free.restype = None
     lib.mesh_free.argtypes = [ctypes.c_void_p]
     return lib
+
+
+def _unpack_out(vp, nv, tp, nt):
+    verts = np.ctypeslib.as_array(vp, (nv.value, 3)).copy() \
+        if nv.value else np.zeros((0, 3), np.float32)
+    tris = np.ctypeslib.as_array(tp, (nt.value, 3)).copy() \
+        if nt.value else np.zeros((0, 3), np.int32)
+    _lib().mesh_free(ctypes.cast(vp, ctypes.c_void_p))
+    _lib().mesh_free(ctypes.cast(tp, ctypes.c_void_p))
+    return verts, tris
 
 
 def marching_tets(grid: np.ndarray, iso: float) -> Tuple[np.ndarray, np.ndarray]:
@@ -100,11 +116,69 @@ def largest_component(verts: np.ndarray, tris: np.ndarray
 
 
 def decimate_mesh(verts: np.ndarray, tris: np.ndarray,
-                  target_tris: int = 100_000, max_iters: int = 8
+                  target_tris: int = 100_000
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vertex-clustering decimation toward a target triangle count
-    (decimate_mesh, utils/mesh_utils.py:44-85 — quadric decimation in the
-    reference; clustering here, chosen for a dependency-free native impl)."""
+    """Quadric edge-collapse decimation toward a target triangle count —
+    the reference's meshing_decimation_quadric_edge_collapse
+    (utils/mesh_utils.py decimate_mesh:44-85), implemented natively
+    (Garland-Heckbert quadrics, optimal placement, boundary constraints,
+    normal-flip guard; native/mesher.cpp mesh_decimate_quadric)."""
+    if len(tris) <= target_tris:
+        return verts, tris
+    lib = _lib()
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = lib.mesh_decimate_quadric(
+        np.ascontiguousarray(verts, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(verts)),
+        np.ascontiguousarray(tris, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(tris)), ctypes.c_int64(int(target_tris)),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    assert rc == 0, "quadric decimation failed"
+    return _unpack_out(vp, nv, tp, nt)
+
+
+def clean_mesh(verts: np.ndarray, tris: np.ndarray,
+               v_pct: float = 1.0, min_f: int = 64, min_d: float = 20.0
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """pymeshlab-style cleaning (clean_mesh, utils/mesh_utils.py:88-146):
+    merge vertices closer than v_pct% of the bbox diagonal, drop duplicate
+    and degenerate faces, remove connected components with < min_f faces or
+    diameter < min_d% of the bbox diagonal, drop unreferenced vertices.
+    (The reference also isotropically remeshes and repairs non-manifold
+    geometry via pymeshlab — not replicated; documented in PARITY.md.)"""
+    if len(tris) == 0:
+        return verts, tris
+    lib = _lib()
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = lib.mesh_clean(
+        np.ascontiguousarray(verts, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(verts)),
+        np.ascontiguousarray(tris, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(tris)),
+        ctypes.c_float(v_pct), ctypes.c_float(min_d),
+        ctypes.c_int64(min_f),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    assert rc == 0, "mesh clean failed"
+    return _unpack_out(vp, nv, tp, nt)
+
+
+def decimate_mesh_cluster(verts: np.ndarray, tris: np.ndarray,
+                          target_tris: int = 100_000, max_iters: int = 8
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vertex-clustering decimation (fast, coarse; kept as the cheap
+    alternative to `decimate_mesh`'s quadric collapse)."""
     if len(tris) <= target_tris:
         return verts, tris
     lib = _lib()
@@ -211,12 +285,19 @@ def gaussian_density_grid(g: NumpyGaussians, resolution: int = 256,
 
 def extract_mesh(g: NumpyGaussians, density_thresh: float = 0.005,
                  resolution: int = 256, keep_largest: bool = True,
-                 decimate_target: int = 100_000
+                 decimate_target: int = 100_000, clean: bool = True
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Gaussians -> (verts [V, 3] world-space, tris [F, 3])
-    (extract_mesh, gs_core.py:855-869)."""
+    (extract_mesh, gs_core.py:855-869: marching cubes -> clean_mesh ->
+    quadric decimation).  keep_largest additionally applies the
+    single-component filter (our stricter default; the reference keeps all
+    components above clean_mesh's size thresholds)."""
     grid, center, scale = gaussian_density_grid(g, resolution)
     verts, tris = marching_tets(grid, density_thresh)
+    if clean and len(tris):
+        # reference clean_mesh defaults: v_pct=1, min_f=64, min_d=20
+        # (gs_core.py:861 -> utils/mesh_utils.py:88-146)
+        verts, tris = clean_mesh(verts, tris)
     if keep_largest and len(tris):
         verts, tris = largest_component(verts, tris)
     if decimate_target and decimate_target > 0:

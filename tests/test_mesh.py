@@ -103,3 +103,63 @@ def test_decimate_mesh():
     w = v2 / 63 * 2 - 1
     rad = np.linalg.norm(w, axis=1)
     assert abs(rad.mean() - 0.6) < 0.05
+
+
+def test_quadric_decimation_quality():
+    """Quadric edge-collapse must hit the triangle budget while keeping the
+    surface tight: on a sphere, max radial deviation stays small (the old
+    vertex-clustering path is far coarser at the same budget)."""
+    from open_diffusiongs_tpu.ops.mesh import decimate_mesh
+    grid = _sphere_grid(64, 0.6)
+    verts, tris = marching_tets(grid, 0.0)
+    v2, t2 = decimate_mesh(verts, tris, target_tris=800)
+    assert len(t2) <= 800
+    assert len(t2) > 300            # didn't collapse to nothing
+    w = v2 / 63 * 2 - 1
+    rad = np.linalg.norm(w, axis=1)
+    # every vertex within 5% of the true radius (quadric keeps the surface)
+    assert np.abs(rad - 0.6).max() < 0.03, np.abs(rad - 0.6).max()
+    assert abs(rad.mean() - 0.6) < 0.01
+
+
+def test_clean_mesh_removes_junk():
+    """clean_mesh = merge close vertices + drop duplicate/degenerate faces
+    + remove small components (utils/mesh_utils.py:88-146 semantics)."""
+    from open_diffusiongs_tpu.ops.mesh import clean_mesh
+    grid = _sphere_grid(64, 0.6)
+    verts, tris = marching_tets(grid, 0.0)
+    n0 = len(tris)
+    # junk: a duplicate face (reordered), a degenerate face, a far-away
+    # tiny component (2 faces), and a near-duplicate vertex chain
+    dup = tris[0][[1, 2, 0]][None]
+    degen = np.array([[tris[0][0], tris[0][0], tris[0][1]]], np.int32)
+    far = np.array([[200.0, 200, 200], [200.5, 200, 200],
+                    [200, 200.5, 200], [200.5, 200.5, 200]], np.float32)
+    far_f = np.array([[0, 1, 2], [1, 3, 2]], np.int32) + len(verts)
+    verts2 = np.concatenate([verts, far]).astype(np.float32)
+    tris2 = np.concatenate([tris, dup, degen, far_f]).astype(np.int32)
+
+    v3, t3 = clean_mesh(verts2, tris2, v_pct=0.01, min_f=8, min_d=5.0)
+    # all junk removed, sphere body kept
+    assert len(t3) <= n0
+    assert len(t3) > n0 * 0.8
+    w = v3 / 63 * 2 - 1
+    rad = np.linalg.norm(w, axis=1)
+    assert rad.max() < 0.75          # far component gone
+    # no duplicate faces remain
+    key = np.sort(t3, axis=1)
+    uniq = np.unique(key, axis=0)
+    assert len(uniq) == len(t3)
+    # no degenerate faces
+    assert (t3[:, 0] != t3[:, 1]).all() and (t3[:, 1] != t3[:, 2]).all()
+
+
+def test_clean_mesh_merges_close_vertices():
+    from open_diffusiongs_tpu.ops.mesh import clean_mesh
+    # two triangles sharing an edge only up to epsilon-duplicated vertices
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                      [1.0001, 0, 0], [0.0001, 1, 0], [1, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2], [3, 5, 4]], np.int32)
+    v2, t2 = clean_mesh(verts, tris, v_pct=1.0, min_f=0, min_d=0.0)
+    assert len(v2) == 4              # the two eps-pairs merged
+    assert len(t2) == 2
