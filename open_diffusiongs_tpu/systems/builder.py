@@ -33,8 +33,10 @@ _SHAPE_MODEL_MAP = {
     "use_checkpoint": "remat",
     # TPU-side constants / unused reference knobs:
     "use_flash": None, "prior_distribution": None, "use_gssplat": None,
-    "grad_checkpoint_every": None, "pretrained_model_name_or_path": None,
+    "grad_checkpoint_every": None,
     "use_downsample": None, "num_latents": None, "range_setting_type": None,
+    # lifted to the system level (stage-2 bootstrap, see build_system):
+    "pretrained_model_name_or_path": "__system__",
 }
 
 
@@ -45,7 +47,7 @@ def shape_model_kwargs(cfg: Dict[str, Any], bf16: bool = True
         if k not in _SHAPE_MODEL_MAP:
             raise ValueError(f"unknown shape_model key {k!r}")
         tgt = _SHAPE_MODEL_MAP[k]
-        if tgt is not None:
+        if tgt is not None and tgt != "__system__":
             out[tgt] = v
     if bf16:
         out.setdefault("dtype", jnp.bfloat16)
@@ -74,6 +76,14 @@ def build_system(system_type: str, system_cfg: Dict[str, Any],
         num_train_timesteps=noise.get("num_train_timesteps", 1000),
         shape_model=sm,
     )
+    # stage-2 bootstrap + partial-load surface (see ObjectSystemConfig)
+    pmp = cfg.get("shape_model", {}).get("pretrained_model_name_or_path")
+    if pmp:
+        kwargs["pretrained_model_name_or_path"] = pmp
+    if cfg.get("weights"):
+        kwargs["weights"] = cfg["weights"]
+    if cfg.get("weights_ignore_modules"):
+        kwargs["weights_ignore_modules"] = tuple(cfg["weights_ignore_modules"])
     for lam in ("lambda_diffusion", "lambda_lpips", "lambda_ssim",
                 "lambda_pointsdist", "lambda_xyz"):
         if lam in loss:

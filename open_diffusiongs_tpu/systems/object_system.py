@@ -59,6 +59,14 @@ class ObjectSystemConfig:
     raster: rasterize.RasterizeConfig = rasterize.RasterizeConfig()
     # model config passed straight to DGSDenoiser
     shape_model: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # stage-2-from-stage-1 bootstrap: weight source loaded into the denoiser
+    # at init, strict (denoiser_scene.py:264-290 via
+    # system.shape_model.pretrained_model_name_or_path in the scene YAML)
+    pretrained_model_name_or_path: Optional[str] = None
+    # BaseSystem-style partial load, non-strict, with module exclusions
+    # (systems/base.py:27-28,47-57 + utils/misc.py:40-70)
+    weights: Optional[str] = None
+    weights_ignore_modules: Optional[Tuple[str, ...]] = None
 
     def make_model(self) -> DGSDenoiser:
         return DGSDenoiser(**dict(self.shape_model))
@@ -97,6 +105,34 @@ class ObjectSystem:
         rays = jnp.zeros((1, v, 3, h, w), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
         return self.model.init(rng, imgs, rays, rays, t)
+
+    def load_pretrained(self, params):
+        """Apply the config's weight bootstraps to freshly-init params.
+
+        1. `pretrained_model_name_or_path`: strict full-denoiser load — the
+           stage-2-from-stage-1 recipe (denoiser_scene.py:264-290).
+        2. `weights` (+ `weights_ignore_modules`): non-strict partial load
+           (systems/base.py:47-57).
+        """
+        import re as _re
+
+        from ..utils import checkpoint as ckpt_lib
+        cfg = self.cfg
+        if cfg.pretrained_model_name_or_path:
+            print(f"Loading pretrained shape model from "
+                  f"{cfg.pretrained_model_name_or_path}")
+            src = ckpt_lib.load_weights_file(cfg.pretrained_model_name_or_path)
+            params = ckpt_lib.load_module_weights(params, src, strict=True)
+        if cfg.weights:
+            src = ckpt_lib.load_weights_file(cfg.weights)
+            ignore = None
+            if cfg.weights_ignore_modules:
+                ignore = ("^(?:" + "|".join(
+                    _re.escape(m) for m in cfg.weights_ignore_modules)
+                    + ")(/|$)")
+            params = ckpt_lib.load_module_weights(params, src, ignore=ignore,
+                                                  strict=False)
+        return params
 
     # -- training ----------------------------------------------------------
     def _gt_xyz(self, batch, ray_o, ray_d) -> Optional[jnp.ndarray]:
@@ -143,7 +179,13 @@ class ObjectSystem:
         total = jnp.zeros((), jnp.float32)
         metrics = {"psnr": lo.psnr.mean(),
                    "overflow_gaussians": out["overflow_gaussians"],
-                   "overflow_tiles": out["overflow_tiles"]}
+                   "overflow_tiles": out["overflow_tiles"],
+                   # fraction of per-tile candidate entries dropped by the
+                   # K capacity — see docs/CAPACITY.md for thresholds
+                   "overflow_frac": out["overflow_gaussians"].astype(
+                       jnp.float32)
+                   / jnp.maximum(out["binned_entries"], 1).astype(
+                       jnp.float32)}
         for name, (value, lam) in parts.items():
             metrics[name] = value
             total = total + value * C(lam, step)

@@ -72,26 +72,92 @@ def _to_save(state: TrainState) -> dict:
             "opt_state": state.opt_state, "ema_params": state.ema_params}
 
 
-def load_module_weights(params: Any, source_params: Any,
+def _flatten_params(tree: Any) -> dict:
+    """Pytree -> {'a/b/c': leaf}, with any leading 'params/' stripped so
+    flax trees align with converted-NPZ key layout."""
+    flat = {}
+    for path, v in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(k.key) for k in path)
+        if key.startswith("params/"):
+            key = key[len("params/"):]
+        flat[key] = v
+    return flat
+
+
+def load_weights_file(path: str, use_ema: bool = True) -> dict:
+    """Load a weight source into a flat {'a/b/c': array} dict.
+
+    Accepts either
+      * an NPZ from tools/convert_reference_ckpt.py ('/'-joined keys), or
+      * an orbax checkpoint directory (a training trial's `ckpts/`, a
+        pretrained dir containing `ckpts/`, or the ckpt dir itself) — the
+        TrainState's EMA params when available (use_ema) else raw params.
+
+    This is the TPU-side counterpart of the reference's torch.load +
+    prefix-strip in denoiser_scene.py:264-290 / utils/misc.py:40-70.
+    """
+    if os.path.isfile(path):
+        return dict(np.load(path))
+    d = path
+    if os.path.isdir(os.path.join(path, "ckpts")):
+        d = os.path.join(path, "ckpts")
+    mngr = ocp.CheckpointManager(os.path.abspath(d))
+    step = mngr.latest_step()
+    assert step is not None, f"no checkpoint found under {path}"
+    restored = mngr.restore(step)
+    mngr.close()
+    params = restored.get("ema_params") if use_ema else None
+    if params is None:
+        params = restored["params"]
+    return _flatten_params(params)
+
+
+def load_module_weights(params: Any, source: Any,
                         include: Optional[str] = None,
-                        ignore: Optional[str] = None) -> Any:
-    """Copy matching leaves from source into params by path
-    (utils/misc.py:40-70 equivalent).  include/ignore are regexes over the
-    '/'-joined path."""
-    flat_src = {"/".join(str(k.key) for k in path): v
-                for path, v in jax.tree_util.tree_flatten_with_path(
-                    source_params)[0]}
+                        ignore: Optional[str] = None,
+                        strict: bool = False,
+                        verbose: bool = True) -> Any:
+    """Copy matching leaves from `source` into `params` by '/'-joined path
+    (utils/misc.py:40-70 equivalent; key remap semantics of
+    denoiser_scene.py:264-290 are handled by `load_weights_file`).
+
+    source: a params pytree or an already-flat {'a/b/c': array} dict.
+    include/ignore: regexes over the path ('params/' prefix stripped).
+    strict: every non-ignored target leaf MUST be found in source
+      (reference load_state_dict(strict=True)); shape mismatches always
+      raise.
+    """
+    flat_src = _flatten_params(source)
+    loaded, skipped, missing = [], [], []
 
     def pick(path, leaf):
         key = "/".join(str(k.key) for k in path)
-        if key not in flat_src:
-            return leaf
+        if key.startswith("params/"):
+            key = key[len("params/"):]
         if include and not re.search(include, key):
+            skipped.append(key)
             return leaf
         if ignore and re.search(ignore, key):
+            skipped.append(key)
+            return leaf
+        if key not in flat_src:
+            missing.append(key)
             return leaf
         src = flat_src[key]
-        assert src.shape == leaf.shape, (key, src.shape, leaf.shape)
+        if getattr(src, "shape", ()) != leaf.shape:
+            raise ValueError(
+                f"shape mismatch for {key}: ckpt {src.shape} vs model "
+                f"{leaf.shape}")
+        loaded.append(key)
         return src.astype(leaf.dtype) if hasattr(src, "astype") else src
 
-    return jax.tree_util.tree_map_with_path(pick, params)
+    out = jax.tree_util.tree_map_with_path(pick, params)
+    if strict and missing:
+        raise KeyError(
+            f"strict load: {len(missing)} target leaves not in source, "
+            f"e.g. {missing[:5]}")
+    if verbose:
+        print(f"[open_diffusiongs_tpu] loaded {len(loaded)} tensors"
+              + (f", {len(missing)} missing" if missing else "")
+              + (f", {len(skipped)} filtered out" if skipped else ""))
+    return out
