@@ -2,12 +2,19 @@
 
 Loads the .npz result packages dumped by the scene system's
 save_result_for_eval (render_images [v, 3, h, w] + image [v_in, 3, h, w]),
-computes chunked PSNR / SSIM / LPIPS between rendered target views and
-ground truth, and writes eval_result.json (reference :9-56, which loads .pt
-dumps; the contents and metrics match).
+computes chunked PSNR / SSIM / LPIPS, and writes eval_result.json
+(reference :9-56, which loads .pt dumps; the contents and metrics match).
+
+--protocol reference (default) compares ALL saved views against GT —
+including the conditioning view 0 — exactly like the reference CLI
+(eval_scene_result.py:22-37 stacks render_images vs image whole), so
+numbers are comparable to the published RE10K 21.26/0.672/0.257.
+--protocol strict excludes the conditioning view (novel views only) —
+a more honest but non-comparable variant.
 
   python eval_scene_result.py --result_dir outputs/.../save/it0 \
-      [--chunk 16] [--lpips-weights lpips_vgg.npz] [--platform cpu]
+      [--protocol reference|strict] [--chunk 16] \
+      [--lpips-weights lpips_vgg.npz] [--platform cpu]
 """
 
 from __future__ import annotations
@@ -23,6 +30,8 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--result_dir", required=True)
+    p.add_argument("--protocol", choices=("reference", "strict"),
+                   default="reference")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--lpips-weights", default=None)
     p.add_argument("--platform", default=None)
@@ -43,18 +52,20 @@ def main():
     if lpips_params is None:
         print("[warn] no --lpips-weights: LPIPS omitted from results")
 
+    lo = 0 if args.protocol == "reference" else 1
     gts, preds = [], []
     for fp in files:
         d = np.load(fp)
         render = d["render_images"]     # [v, 3, h, w] (incl. input view 0)
         gt = d["image"]                 # [v_in, 3, h, w]
-        # target views are 1: in both (view 0 is the conditioning input)
         v = min(render.shape[0], gt.shape[0])
-        preds.append(render[1:v])
-        gts.append(gt[1:v])
+        # reference protocol: ALL views incl. the conditioning view 0
+        # (reference :22-37); strict: novel views only
+        preds.append(render[lo:v])
+        gts.append(gt[lo:v])
     preds = np.concatenate(preds)
     gts = np.concatenate(gts)
-    print(f"{len(files)} scenes, {len(preds)} target views")
+    print(f"{len(files)} scenes, {len(preds)} views ({args.protocol})")
 
     metric_fn = jax.jit(lambda t, r: L.compute_metrics(t, r, lpips_params))
     psnrs, ssims, lpipss = [], [], []
@@ -70,6 +81,7 @@ def main():
         "ssim": float(np.concatenate(ssims).mean()),
         "num_scenes": len(files),
         "num_views": int(len(preds)),
+        "protocol": args.protocol,
     }
     if lpipss:
         result["lpips"] = float(np.concatenate(lpipss).mean())

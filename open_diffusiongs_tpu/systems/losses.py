@@ -56,8 +56,16 @@ def _filter2d_separable(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray, win_size: int = 11,
-         sigma: float = 1.5, data_range: float = 1.0) -> jnp.ndarray:
-    """Per-image SSIM. x, y: [n, c, h, w] -> [n]."""
+         sigma: float = 1.5, data_range: float = 1.0,
+         use_sample_covariance: bool = False) -> jnp.ndarray:
+    """Per-image SSIM. x, y: [n, c, h, w] -> [n].
+
+    use_sample_covariance=False reproduces pytorch_msssim (the reference's
+    TRAINING loss, losses.py:294); =True reproduces skimage
+    structural_similarity(win_size=11, gaussian_weights=True) — the
+    reference's EVAL metric (losses.py:429-460): covariances scaled by
+    N/(N-1) with N = win_size**2; skimage's reflect-pad gaussian_filter +
+    crop-to-pad equals this valid convolution exactly."""
     win = jnp.asarray(_gaussian_window(win_size, sigma))
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
@@ -67,9 +75,11 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, win_size: int = 11,
     mu1 = _filter2d_separable(x, win)
     mu2 = _filter2d_separable(y, win)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d_separable(x * x, win) - mu1_sq
-    sigma2_sq = _filter2d_separable(y * y, win) - mu2_sq
-    sigma12 = _filter2d_separable(x * y, win) - mu12
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1.0) if use_sample_covariance else 1.0
+    sigma1_sq = cov_norm * (_filter2d_separable(x * x, win) - mu1_sq)
+    sigma2_sq = cov_norm * (_filter2d_separable(y * y, win) - mu2_sq)
+    sigma12 = cov_norm * (_filter2d_separable(x * y, win) - mu12)
     cs = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu12 + c1) / (mu1_sq + mu2_sq + c1)) * cs
     return jnp.mean(ssim_map, axis=(1, 2, 3))
@@ -236,7 +246,10 @@ def compute_metrics(target: jnp.ndarray, rendering: jnp.ndarray,
     rend_c = jnp.clip(rend, 0, 1)
     targ_c = jnp.clip(targ, 0, 1)
     mse = ((rend_c - targ_c) ** 2).reshape(rend.shape[0], -1).mean(axis=1)
-    out = {"psnr": psnr(mse), "ssim": ssim(targ_c, rend_c)}
+    # eval SSIM uses skimage sample-covariance semantics (losses.py:429-460);
+    # the training loss keeps pytorch_msssim semantics (losses.py:294)
+    out = {"psnr": psnr(mse),
+           "ssim": ssim(targ_c, rend_c, use_sample_covariance=True)}
     if lpips_params is not None:
         out["lpips"] = lpips(lpips_params,
                              resize_bilinear_256(rend) * 2.0 - 1.0,

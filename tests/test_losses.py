@@ -81,3 +81,68 @@ def test_metrics(rng):
     assert m["psnr"].shape == (4,)
     assert (np.asarray(m["psnr"]) > 10).all()
     assert (np.asarray(m["ssim"]) < 1.0).all()
+
+
+def _ssim_direct(x, y, use_sample_covariance):
+    """Independent brute-force skimage-semantics SSIM: per-window weighted
+    moments computed directly (no convolutions), per channel, averaged —
+    the oracle for L.ssim(use_sample_covariance=...)."""
+    win = 11
+    coords = np.arange(win) - win // 2
+    g = np.exp(-(coords ** 2) / (2 * 1.5 ** 2))
+    g = g / g.sum()
+    w2d = np.outer(g, g)                       # [11, 11], sums to 1
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    cov_norm = (win * win) / (win * win - 1.0) if use_sample_covariance else 1.0
+    n, c, h, w = x.shape
+    out = np.zeros(n)
+    for ni in range(n):
+        vals = []
+        for ci in range(c):
+            for i in range(h - win + 1):
+                for j in range(w - win + 1):
+                    px = x[ni, ci, i:i + win, j:j + win]
+                    py = y[ni, ci, i:i + win, j:j + win]
+                    ux = (w2d * px).sum()
+                    uy = (w2d * py).sum()
+                    vx = cov_norm * ((w2d * px * px).sum() - ux * ux)
+                    vy = cov_norm * ((w2d * py * py).sum() - uy * uy)
+                    vxy = cov_norm * ((w2d * px * py).sum() - ux * uy)
+                    vals.append(((2 * ux * uy + c1) * (2 * vxy + c2))
+                                / ((ux * ux + uy * uy + c1) * (vx + vy + c2)))
+        out[ni] = np.mean(vals)
+    return out
+
+
+def test_ssim_skimage_sample_covariance_semantics(rng):
+    """Eval SSIM must use skimage sample-covariance normalization
+    (reference losses.py:429-460); training SSIM keeps pytorch_msssim
+    population covariance (:294).  Both verified against a direct
+    per-window oracle."""
+    # smooth, low-variance images: windowed variance ~ C2, where the
+    # sample-covariance factor N/(N-1) actually moves the 3rd decimal
+    # (like real photographs; on white noise the effect vanishes)
+    i, j = np.meshgrid(np.arange(14), np.arange(14), indexing="ij")
+    base = 0.5 + 0.1 * np.sin(i / 4.0) * np.cos(j / 5.0)
+    x = np.stack([np.stack([base] * 3)] * 2).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.03, x.shape), 0, 1).astype(np.float32)
+    for sample_cov in (False, True):
+        got = np.asarray(L.ssim(jnp.asarray(x), jnp.asarray(y),
+                                     use_sample_covariance=sample_cov))
+        want = _ssim_direct(x, y, sample_cov)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
+    # the two normalizations genuinely differ on such pairs
+    a = np.asarray(L.ssim(jnp.asarray(x), jnp.asarray(y)))
+    b = np.asarray(L.ssim(jnp.asarray(x), jnp.asarray(y),
+                          use_sample_covariance=True))
+    assert np.max(np.abs(a - b)) > 1e-4, (a, b)
+
+
+def test_compute_metrics_uses_sample_covariance(rng):
+    x = rng.uniform(size=(1, 3, 16, 16)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), 0, 1).astype(np.float32)
+    m = L.compute_metrics(jnp.asarray(x), jnp.asarray(y))
+    want = L.ssim(jnp.asarray(x), jnp.asarray(y),
+                       use_sample_covariance=True)
+    np.testing.assert_allclose(np.asarray(m["ssim"]), np.asarray(want),
+                               rtol=1e-6)
