@@ -91,6 +91,8 @@ def main():
                      else cfg.data.get("sel_views", 4) + 1)
     rng = jax.random.PRNGKey(cfg.seed)
     params = system.init_params(rng, th, tw, v=n_input_views)
+    # stage-2-from-stage-1 / partial weight bootstrap (overridden by resume)
+    params = system.load_pretrained(params)
     state = init_train_state(params, tx, ema_decay=0.9999)
 
     ckpt_cfg = dict(cfg.checkpoint)
@@ -171,6 +173,17 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
                     line = " ".join(f"{k}={v:.4g}" for k, v in
                                     sorted(m.items()))
                     print(f"step {step}: {line}", flush=True)
+                    # capacity alarm ("no silent caps"): drop-farthest is
+                    # benign at small fractions (tests/test_overflow_
+                    # accuracy.py) but a persistently high fraction means
+                    # raster.max_per_tile / max_tiles_per_gaussian are
+                    # undersized — see docs/CAPACITY.md
+                    if m.get("overflow_frac", 0.0) > 0.05:
+                        print(f"WARNING: rasterizer dropped "
+                              f"{100 * m['overflow_frac']:.1f}% of per-tile "
+                              f"entries (> 5%); consider raising "
+                              f"system.raster.max_per_tile "
+                              f"(docs/CAPACITY.md)", flush=True)
                     _append_csv(csv_path, step, m)
                     if writer:
                         for k, v in m.items():
@@ -191,6 +204,9 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
     from open_diffusiongs_tpu.ops.gaussians import NumpyGaussians
     from open_diffusiongs_tpu.systems import eval_utils
 
+    from open_diffusiongs_tpu.parallel.mesh import (allreduce_metric_sums,
+                                                    eval_shard_indices)
+
     params = state.ema_params if (args.use_ema and
                                   state.ema_params is not None) else state.params
     step = int(state.step)
@@ -200,8 +216,13 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
     save_videos = bool(getattr(system.cfg, "save_intermediate_video", False))
     out_dir = os.path.join(cfg.trial_dir, "save", f"it{step}")
     sample_jit = None
-    for i in range(0, n_total, eval_bs):
-        samples = [dataset[j] for j in range(i, min(i + eval_bs, n_total))]
+    # multi-host: each process owns a round-robin shard of the eval set and
+    # writes artifacts only for its scenes (reference: DistributedSampler +
+    # all_gather_batch, utils/misc.py:136-168)
+    owned = eval_shard_indices(n_total)
+    psnr_sum, view_count = 0.0, 0
+    for i in range(0, len(owned), eval_bs):
+        samples = [dataset[j] for j in owned[i:i + eval_bs]]
         from open_diffusiongs_tpu.data.loader import collate
         batch = collate(samples)
         cond = jnp.asarray(batch["rgbs_input"][:, :1])
@@ -211,8 +232,16 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
             sample_jit = jax.jit(lambda p, c, cw, fx, r: system.sample(
                 p, c, cw, fx, r, return_trajectory=save_videos))
         out = sample_jit(params, cond, c2w, fxy,
-                         jax.random.fold_in(rng, i))
+                         jax.random.fold_in(rng, owned[i]))
         renders = np.asarray(out["renders"])  # [b, v, 3, h, w]
+        # novel-view PSNR vs GT (summed; merged across processes below)
+        gt = np.asarray(batch["rgbs_input"], np.float32)
+        vv = min(renders.shape[1], gt.shape[1])
+        if vv > 1:
+            mse = ((np.clip(renders[:, 1:vv], 0, 1) - gt[:, 1:vv]) ** 2
+                   ).reshape(renders.shape[0], vv - 1, -1).mean(-1)
+            psnr_sum += float((-10.0 * np.log10(np.maximum(mse, 1e-10))).sum())
+            view_count += mse.size
         for bi, uid in enumerate(batch["uid"]):
             if getattr(system.cfg, "save_result_for_eval", False):
                 system.save_result_for_eval(
@@ -238,7 +267,20 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
                     h=renders.shape[-2], w=renders.shape[-1],
                     raster_cfg=system.cfg.raster)
         if is_main:
-            print(f"validated {i + len(samples)}/{n_total}", flush=True)
+            print(f"validated {i + len(samples)}/{len(owned)} (of {n_total} "
+                  f"total over {jax.process_count()} processes)", flush=True)
+
+    # merge metrics across processes (all_gather_batch equivalent) and
+    # write a summary from the main process only
+    total_psnr, total_views = allreduce_metric_sums([psnr_sum, view_count])
+    if is_main and total_views > 0:
+        summary = {"psnr": total_psnr / total_views,
+                   "num_views": int(total_views), "step": step}
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "val_metrics.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"val PSNR {summary['psnr']:.3f} dB over "
+              f"{summary['num_views']} views", flush=True)
 
 
 def _snapshot_code(trial_dir: str):

@@ -97,3 +97,29 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def eval_shard_indices(n_total: int, pid: Optional[int] = None,
+                       nproc: Optional[int] = None) -> list:
+    """Round-robin shard of the eval set for this process.
+
+    The reference shards the val set per rank through Lightning's
+    DistributedSampler and merges results with `all_gather_batch`
+    (utils/misc.py:136-168); here each process owns indices
+    pid, pid+nproc, ... and writes artifacts only for those scenes."""
+    pid = jax.process_index() if pid is None else pid
+    nproc = jax.process_count() if nproc is None else nproc
+    return list(range(pid, n_total, nproc))
+
+
+def allreduce_metric_sums(values: Sequence[float]) -> np.ndarray:
+    """Sum a small vector of metric accumulators across all processes
+    (`all_gather_batch` equivalent, utils/misc.py:136-168).  Every process
+    must call this the same number of times.  Single-process: identity."""
+    arr = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        arr.astype(np.float32))                    # [nproc, k]
+    return np.asarray(gathered, np.float64).sum(axis=0)

@@ -133,11 +133,49 @@ def test_scene_train_and_validate(re10k_fixture):
     assert "scene0.ply" in files
     assert "scene0_path.avi" in files
 
-    # metric CLI over the npz dumps
+    # merged val metrics from the sharded eval loop
+    val_metrics = json.load(open(save_dir / "val_metrics.json"))
+    assert val_metrics["num_views"] == 4  # 2 scenes x 2 novel views
+    assert np.isfinite(val_metrics["psnr"])
+
+    # metric CLI over the npz dumps — default protocol matches the
+    # reference (ALL views incl. the conditioning view, :22-37)
     r3 = _run(["eval_scene_result.py", "--result_dir", str(save_dir),
                "--platform", "cpu"])
     assert r3.returncode == 0, r3.stderr[-2000:]
     result = json.load(open(save_dir / "eval_result.json"))
     assert "psnr" in result and "ssim" in result
     assert result["num_scenes"] == 2
+    assert result["protocol"] == "reference"
+    assert result["num_views"] == 6       # 2 scenes x 3 views (cond + 2 novel)
     assert np.isfinite(result["psnr"])
+
+    # strict protocol: novel views only
+    r4 = _run(["eval_scene_result.py", "--result_dir", str(save_dir),
+               "--platform", "cpu", "--protocol", "strict"])
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    strict = json.load(open(save_dir / "eval_result.json"))
+    assert strict["num_views"] == 4
+    # the conditioning view reconstructs much better than novel views, so
+    # the reference protocol reports a higher PSNR than strict
+    assert result["psnr"] != strict["psnr"]
+
+
+def test_eval_shard_indices_partition():
+    """Round-robin eval sharding: disjoint, complete, balanced (the
+    reference's DistributedSampler behavior)."""
+    from open_diffusiongs_tpu.parallel.mesh import eval_shard_indices
+    n, nproc = 11, 4
+    shards = [eval_shard_indices(n, pid=p, nproc=nproc) for p in range(nproc)]
+    flat = sorted(i for s in shards for i in s)
+    assert flat == list(range(n))                      # complete + disjoint
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1                # balanced
+    # single process owns everything
+    assert eval_shard_indices(5, pid=0, nproc=1) == [0, 1, 2, 3, 4]
+
+
+def test_allreduce_metric_sums_single_process():
+    from open_diffusiongs_tpu.parallel.mesh import allreduce_metric_sums
+    out = allreduce_metric_sums([1.5, 3.0])
+    np.testing.assert_allclose(out, [1.5, 3.0])
