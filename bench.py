@@ -1,13 +1,18 @@
 """Benchmark: end-to-end single-image -> 3D asset wall-clock on one chip.
 
 Runs the flagship object model (24-layer/1024-wide DiT, 30 denoising steps,
-1 condition view + 3 generation views) at 256 x 256 through the fully jitted
-sample loop (denoiser + tile rasterizer every step) and reports seconds per
-asset, compile excluded (warmup run first).
+1 condition view + 3 generation views) through the fully jitted sample loop
+(denoiser + tile rasterizer every step) at BOTH 256^2 and 512^2, plus one
+training step (b=1, 256^2), and reports a single JSON line.
 
-Baseline: the reference paper claims ~6 s single-image -> 3D on one GPU
-(README.md:39; A100-class, 512 demo).  vs_baseline is our seconds / 6.0
-(< 1.0 is faster than the reference claim).
+Baselines (BASELINE.md):
+  * 256^2: the paper claims ~6 s single-image -> 3D on one GPU
+    (README.md:39; A100-class).  vs_baseline = ours / 6.0.
+  * 512^2: the open-source 512 model claims 24 s (README.md:74).
+    vs_baseline_512 = ours / 24.0.
+
+Env knobs: BENCH_RES=256 (primary), BENCH_SKIP_512=1, BENCH_SKIP_TRAIN=1
+for faster smoke runs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -25,29 +30,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_SECONDS = 6.0  # README.md:39 (paper claim, 1 GPU)
+BASELINE_256_S = 6.0    # README.md:39 (paper claim, 1 GPU)
+BASELINE_512_S = 24.0   # README.md:74 (open-source 512 model)
 
 
-def main():
-    from __graft_entry__ import _orbit_cameras
+def _make_system(h, w, steps=30):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
     from open_diffusiongs_tpu.systems.object_system import (
         ObjectSystem, ObjectSystemConfig)
-
-    h = w = int(os.environ.get("BENCH_RES", "256"))
-    n_views = 4          # 1 cond + 3 generation targets (pipline_obj.py:269-287)
-    steps = 30
-
-    system = ObjectSystem(ObjectSystemConfig(
+    return ObjectSystem(ObjectSystemConfig(
         num_inference_steps=steps,
         shape_model=dict(width=1024, num_layers=24, patch_size=8,
                          dim_heads=64, dtype=jnp.bfloat16, remat=False),
-        raster=RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+        # K=1024: the lossless-in-practice capacity for 4-view pixel-aligned
+        # models (docs/CAPACITY.md) — the bench renders what CUDA renders
+        raster=RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=1024,
                                blend_chunk=32),
         use_lpips=False,
     ))
-    params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
 
+
+def bench_sample(h, w, n_views=4, steps=30):
+    """Returns (best_seconds, compile_seconds)."""
+    from __graft_entry__ import _orbit_cameras
+
+    system = _make_system(h, w, steps)
+    params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(1, 1, 3, h, w)), jnp.float32)
@@ -62,28 +70,90 @@ def main():
         # remote computation finishes; fetching a scalar is the reliable sync.
         return float(out["sample"].sum())
 
-    # Warmup (compile)
     t0 = time.time()
     run(jax.random.PRNGKey(1))
     compile_s = time.time() - t0
-
     times = []
     for i in range(3):
         t0 = time.time()
         run(jax.random.PRNGKey(2 + i))
         times.append(time.time() - t0)
-    best = min(times)
+    return min(times), compile_s
 
-    print(json.dumps({
+
+def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
+    """One-chip training throughput at b=1 (the per-chip unit of the
+    reference's 4/GPU x 8 GPU recipe, configs/diffusionGS_rel.yaml:14).
+    Returns (ms_per_step, samples_per_sec_chip)."""
+    from __graft_entry__ import _orbit_cameras
+    from open_diffusiongs_tpu.parallel.train_step import (
+        OptimizerConfig, init_train_state, make_optimizer, make_train_step)
+
+    system = _make_system(h, w)
+    params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
+    tx = make_optimizer(OptimizerConfig(lr=1e-5))
+    state = init_train_state(params, tx, ema_decay=0.9999)
+    step = make_train_step(system.train_loss, tx, mesh=None,
+                           ema_decay=0.9999, donate=True)
+
+    c2ws, fxy = _orbit_cameras(max(n_views, sup_views), h=h, w=w)
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgbs_input": jnp.asarray(
+            rng.uniform(size=(1, n_views, 3, h, w)), jnp.float32),
+        "c2ws_input": jnp.asarray(c2ws[:n_views])[None],
+        "fxfycxcys_input": jnp.asarray(fxy[:n_views])[None],
+        "depths_input": jnp.full((1, n_views, 1, h, w), 3.0),
+        "masks_input": jnp.ones((1, n_views, 1, h, w)),
+        "rgbs": jnp.asarray(
+            rng.uniform(size=(1, sup_views, 3, h, w)), jnp.float32),
+        "c2ws": jnp.asarray(c2ws[:sup_views])[None],
+        "fxfycxcys": jnp.asarray(fxy[:sup_views])[None],
+        "masks": jnp.ones((1, sup_views, 1, h, w)),
+    }
+    key = jax.random.PRNGKey(7)
+    state, metrics = step(state, batch, key)     # compile
+    float(metrics["loss"])                       # sync
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+    dt = (time.time() - t0) / iters
+    return dt * 1e3, 1.0 / dt
+
+
+def main():
+    h = w = int(os.environ.get("BENCH_RES", "256"))
+    steps, n_views = 30, 4
+
+    best, compile_s = bench_sample(h, w, n_views, steps)
+    out = {
         "metric": f"image_to_3d_seconds_{h}",
         "value": round(best, 3),
         "unit": "s/asset",
-        "vs_baseline": round(best / BASELINE_SECONDS, 3),
+        "vs_baseline": round(best / BASELINE_256_S, 3),
         "compile_s": round(compile_s, 1),
         "denoise_steps": steps,
         "views": n_views,
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_512"):
+        best512, compile512 = bench_sample(512, 512, n_views, steps)
+        out["image_to_3d_seconds_512"] = round(best512, 3)
+        # reference open-source claim: 24 s at 512 (README.md:74)
+        out["vs_baseline_512"] = round(best512 / BASELINE_512_S, 3)
+        out["compile_512_s"] = round(compile512, 1)
+        # 3 rendered views/step x 30 steps x (4 * 512^2) Gaussians
+        out["mgaussians_per_s_512"] = round(
+            steps * 3 * (n_views * 512 * 512) / best512 / 1e6, 1)
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_TRAIN"):
+        ms, sps = bench_train_step(h, w)
+        out["train_step_ms_b1"] = round(ms, 1)
+        out["train_samples_per_sec_chip"] = round(sps, 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
