@@ -1,0 +1,105 @@
+"""Converted-checkpoint numerical parity against reference-generated goldens.
+
+tests/golden/reference_denoiser_tiny.npz (object, relative_plk) and
+reference_denoiser_scene_tiny.npz (scene, plk + [near,far] depth head) were
+produced by tools/make_golden_fixtures.py, which EXECUTES THE REFERENCE
+CODE (denoiser.py / denoiser_scene.py image_to_gaussians,
+utils_transformer.py DiTBlock) under CPU torch on a tiny 2-layer config.
+These tests convert the torch state_dicts through
+tools/convert_reference_ckpt.convert_state_dict and assert our flax
+DGSDenoiser reproduces the reference outputs — proving "published
+checkpoints convert weight-for-weight" (models/denoiser.py:20-22) at the
+activation level, not just by weight-shape equality.
+"""
+
+import os
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_diffusiongs_tpu.models.denoiser import DGSDenoiser
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden")
+FIXTURES = ["reference_denoiser_tiny.npz",
+            "reference_denoiser_scene_tiny.npz"]
+
+
+def _load(name):
+    path = os.path.join(GOLDEN_DIR, name)
+    assert os.path.exists(path), (
+        f"missing golden fixture {name} — regenerate with "
+        "python tools/make_golden_fixtures.py (needs torch)")
+    return dict(np.load(path))
+
+
+def _model_from_fixture(fx):
+    return DGSDenoiser(
+        width=64, in_channels=9, patch_size=8, n_gaussians=2, dim_heads=32,
+        num_layers=2, ray_pe_type=str(fx["ray_pe_type"]),
+        hard_pixelalign=True, clip_xyz=True, gaussians_sh_degree=0,
+        range_setting_near=float(fx["range_setting_near"]),
+        range_setting_far=float(fx["range_setting_far"]),
+        dtype=jnp.float32, remat=False, attn_impl="xla")
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_converted_weights_reproduce_reference_activations(name):
+    from convert_reference_ckpt import (convert_state_dict,
+                                        load_converted_params)
+
+    fx = _load(name)
+    sd = {k[len("sd/"):]: v for k, v in fx.items() if k.startswith("sd/")}
+    converted = convert_state_dict(sd)
+
+    model = _model_from_fixture(fx)
+    images = jnp.asarray(fx["images"])
+    ray_o = jnp.asarray(fx["ray_o"])
+    ray_d = jnp.asarray(fx["ray_d"])
+    t = jnp.asarray(fx["t"])
+    params = model.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+
+    with tempfile.TemporaryDirectory() as d:
+        npz = os.path.join(d, "w.npz")
+        np.savez(npz, **converted)
+        params = load_converted_params(npz, params)
+
+    gaussians, img_xyz = model.apply(params, images, ray_o, ray_d, t,
+                                     training=False)
+
+    for ours, key in [(gaussians.xyz, "out_xyz"),
+                      (gaussians.features, "out_features"),
+                      (gaussians.scaling, "out_scaling"),
+                      (gaussians.rotation, "out_rotation"),
+                      (gaussians.opacity, "out_opacity"),
+                      (img_xyz, "out_img_xyz")]:
+        np.testing.assert_allclose(np.asarray(ours), fx[key],
+                                   rtol=2e-4, atol=2e-5, err_msg=key)
+
+
+def test_fixture_covers_every_model_param():
+    """Every leaf of our model tree is exercised by the converted weights
+    (a mapping gap would KeyError in load_converted_params)."""
+    from convert_reference_ckpt import convert_state_dict
+    fx = _load(FIXTURES[0])
+    sd = {k[len("sd/"):]: v for k, v in fx.items() if k.startswith("sd/")}
+    converted = convert_state_dict(sd)
+    model = DGSDenoiser(width=64, in_channels=9, patch_size=8, n_gaussians=2,
+                        dim_heads=32, num_layers=2, dtype=jnp.float32,
+                        remat=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 3, 16, 16)),
+                        jnp.zeros((1, 2, 3, 16, 16)),
+                        jnp.zeros((1, 2, 3, 16, 16)),
+                        jnp.zeros((1,), jnp.int32))
+    flat = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    paths = {"/".join(str(k.key) for k in p) for p, _ in flat}
+    assert paths == set(converted.keys()), (
+        paths.symmetric_difference(converted.keys()))

@@ -82,6 +82,8 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         w = np.asarray(w, np.float32)
         if name in _STATIC_MAP:
             path, transpose = _STATIC_MAP[name]
+            if name == "gaussians_pos_embedding" and w.ndim == 3:
+                w = w[0]  # scene variant stores [1, n, width] (denoiser_scene.py:227)
             out[path] = w.T if transpose else w
             continue
         m = _LAYER_RE.match(name)

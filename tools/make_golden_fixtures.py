@@ -1,0 +1,250 @@
+"""Generate golden activation fixtures by RUNNING THE REFERENCE CODE.
+
+Executes the reference DGSDenoiser's own source (ast-extracted from
+/root/reference/diffusionGS/models/denoiser/denoiser.py, plus an importlib
+load of models/transformers/utils_transformer.py) under CPU torch, with
+stubs ONLY for external libraries that are not reference code:
+
+  * timm.models.vision_transformer.Attention / Mlp — reimplemented to the
+    timm spec (qkv packing [3, heads, dim], SDPA, proj),
+  * xformers.ops — unused when use_flash=False (the shipped default),
+  * diffusionGS registry / BaseModule / Renderer — construction shims
+    (Renderer is never called by image_to_gaussians).
+
+The fixture (tests/golden/reference_denoiser_tiny.npz) holds the inputs,
+the torch state_dict (reference key names) and the reference outputs of
+image_to_gaussians for a tiny 2-layer config.  tests/test_golden_reference
+then converts the weights with tools/convert_reference_ckpt.py and asserts
+our flax DGSDenoiser reproduces the outputs — end-to-end numerical parity
+of the converter + model, not just weight-shape equality.
+
+Usage: python tools/make_golden_fixtures.py [--out tests/golden/...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import importlib.util
+import os
+import sys
+import types
+from dataclasses import dataclass
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/diffusionGS"
+
+
+def _install_stubs(torch, nn, F):
+    """Stub external (non-reference) modules in sys.modules."""
+    # timm Attention/Mlp, per the timm vision_transformer spec
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, **kw):
+            super().__init__()
+            self.num_heads = num_heads
+            self.head_dim = dim // num_heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            qkv = self.qkv(x).reshape(
+                b, n, 3, self.num_heads, self.head_dim).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv.unbind(0)
+            x = F.scaled_dot_product_attention(q, k, v)
+            return self.proj(x.transpose(1, 2).reshape(b, n, c))
+
+    class Mlp(nn.Module):
+        def __init__(self, in_features, hidden_features, act_layer, drop=0.0):
+            super().__init__()
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features, in_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_vit = types.ModuleType("timm.models.vision_transformer")
+    timm_vit.Attention = Attention
+    timm_vit.Mlp = Mlp
+    timm_vit.PatchEmbed = object
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.vision_transformer"] = timm_vit
+
+    xformers = types.ModuleType("xformers")
+    xops = types.ModuleType("xformers.ops")
+    xops.memory_efficient_attention = None  # use_flash=False path never calls
+    sys.modules["xformers"] = xformers
+    sys.modules["xformers.ops"] = xops
+
+
+def _load_utils_transformer():
+    spec = importlib.util.spec_from_file_location(
+        "ref_utils_transformer",
+        os.path.join(REF, "models/transformers/utils_transformer.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _exec_reference_denoiser(ut, torch, nn,
+                             src="models/denoiser/denoiser.py"):
+    """ast-extract modulate/TimestepEmbedder/GaussiansUpsampler/
+    ImageTokenDecoder/DGSDenoiser from the reference denoiser source and
+    exec them with shimmed globals."""
+    import copy as copy_mod
+    import math
+
+    from easydict import EasyDict as edict  # noqa: F401 (try import)
+
+    src_path = os.path.join(REF, src)
+    tree = ast.parse(open(src_path).read())
+    keep = {"modulate", "TimestepEmbedder", "GaussiansUpsampler",
+            "ImageTokenDecoder", "DGSDenoiser"}
+    nodes = [n for n in tree.body
+             if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+             and n.name in keep]
+    for n in nodes:
+        if isinstance(n, ast.ClassDef):
+            n.decorator_list = []  # drop @diffusionGS.register
+    module = ast.Module(body=nodes, type_ignores=[])
+    code = compile(ast.fix_missing_locations(module), src_path, "exec")
+
+    from einops import rearrange, repeat
+    from einops.layers.torch import Rearrange
+
+    class BaseModule(nn.Module):
+        @dataclass
+        class Config:
+            pass
+
+        def __init__(self, cfg):
+            super().__init__()
+            self.cfg = cfg
+            self.configure()
+
+        def configure(self):
+            pass
+
+    class _FakeRenderer(nn.Module):
+        def __init__(self, cfg):
+            super().__init__()
+
+    g = dict(
+        torch=torch, nn=nn, math=math, copy=copy_mod, np=np,
+        rearrange=rearrange, repeat=repeat, Rearrange=Rearrange,
+        edict=edict, DiTBlock=ut.DiTBlock, _init_weights=ut._init_weights,
+        Renderer=_FakeRenderer, SceneRenderer=_FakeRenderer,
+        BaseModule=BaseModule,
+        dataclass=dataclass, tqdm=lambda x: x, save_image=None,
+        generate_dense_grid_points=None,
+        checkpoint=None,
+    )
+    exec(code, g)
+    return g
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out",
+                    default="tests/golden/reference_denoiser_tiny.npz")
+    args = ap.parse_args()
+
+    try:
+        import easydict  # noqa: F401
+    except ImportError:  # tiny shim: attribute-style dict
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    _install_stubs(torch, nn, F)
+    ut = _load_utils_transformer()
+
+    variants = [
+        ("reference_denoiser_tiny.npz", "models/denoiser/denoiser.py",
+         dict(ray_pe_type="relative_plk")),
+        ("reference_denoiser_scene_tiny.npz",
+         "models/denoiser/denoiser_scene.py",
+         dict(ray_pe_type="plk", range_setting_near=0,
+              range_setting_far=10)),
+    ]
+    out_dir = os.path.dirname(args.out) or "tests/golden"
+    os.makedirs(out_dir, exist_ok=True)
+
+    for fname, src, extra in variants:
+        torch.manual_seed(0)
+        g = _exec_reference_denoiser(ut, torch, nn, src=src)
+        DGSDenoiser = g["DGSDenoiser"]
+        cfg = DGSDenoiser.Config(
+            width=64, in_channels=9, patch_size=8, n_gaussians=2,
+            dim_heads=32, num_layers=2, hard_pixelalign=True,
+            clip_xyz=True, gaussians_sh_degree=0, use_flash=False,
+            use_checkpoint=False, grad_checkpoint_every=1, **extra)
+        model = DGSDenoiser(cfg).eval()
+
+        # inputs: 2 views, 16x16, unit-norm rays toward the origin-ish
+        rng = np.random.default_rng(0)
+        b, v, h, w = 1, 2, 16, 16
+        images = rng.uniform(0, 1, (b, v, 3, h, w)).astype(np.float32)
+        ray_o = np.broadcast_to(
+            rng.normal(0, 1, (b, v, 3, 1, 1)).astype(np.float32),
+            (b, v, 3, h, w)).copy()
+        rd = rng.normal(0, 1, (b, v, 3, h, w)).astype(np.float32)
+        ray_d = rd / np.linalg.norm(rd, axis=2, keepdims=True)
+        t = np.asarray([7], np.int64)
+
+        with torch.no_grad():
+            out, img_xyz = model.image_to_gaussians(
+                torch.from_numpy(images), torch.from_numpy(ray_o),
+                torch.from_numpy(ray_d), torch.from_numpy(t),
+                training=False)
+
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        fixture = {
+            "images": images, "ray_o": ray_o, "ray_d": ray_d,
+            "t": t.astype(np.int32),
+            "ray_pe_type": np.asarray(extra["ray_pe_type"]),
+            "range_setting_near": np.float32(
+                extra.get("range_setting_near", 0.0)),
+            "range_setting_far": np.float32(
+                extra.get("range_setting_far", 500.0)),
+            "out_xyz": out.xyz.numpy(),
+            "out_features": out.features.numpy(),
+            "out_scaling": out.scaling.numpy(),
+            "out_rotation": out.rotation.numpy(),
+            "out_opacity": out.opacity.numpy(),
+            "out_img_xyz": img_xyz.numpy(),
+        }
+        for k, w_ in sd.items():
+            fixture[f"sd/{k}"] = w_.astype(np.float32)
+
+        path = os.path.join(out_dir, fname)
+        np.savez_compressed(path, **fixture)
+        print(f"wrote {path}: {len(sd)} weights, "
+              f"outputs xyz {out.xyz.shape}")
+
+
+if __name__ == "__main__":
+    main()
