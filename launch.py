@@ -143,6 +143,7 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
 
     writer = None
     csv_path = os.path.join(cfg.trial_dir, "metrics.csv")
+    wandb_run = None
     if is_main:
         try:
             from flax.metrics import tensorboard
@@ -150,6 +151,20 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
                 os.path.join(cfg.trial_dir, "tb"))
         except Exception as e:
             print(f"tensorboard disabled: {e}")
+        # optional wandb logger — the reference's system.loggers.wandb
+        # surface (launch.py:252-261, utils/saving.py:58-68); degrades to a
+        # warning when the wandb package/egress is unavailable
+        wb = dict(dict(cfg.system.get("loggers", {}) or {}).get("wandb",
+                                                                {}) or {})
+        if wb.get("enable", False):
+            try:
+                import wandb
+                wandb_run = wandb.init(
+                    project=wb.get("project", "open_diffusiongs_tpu"),
+                    name=wb.get("name") or cfg.name,
+                    dir=cfg.trial_dir)
+            except Exception as e:
+                print(f"wandb logging disabled: {e}")
 
     t0 = time.time()
     drop = {"uid"}
@@ -188,9 +203,14 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
                     if writer:
                         for k, v in m.items():
                             writer.scalar(f"train/{k}", v, step)
+                    if wandb_run:
+                        wandb_run.log({f"train/{k}": v
+                                       for k, v in m.items()}, step=step)
             ckpt.maybe_save(state, step=step)
     ckpt.maybe_save(state, force=True, step=step)
     ckpt.wait()
+    if wandb_run:
+        wandb_run.finish()
     if is_main:
         print(f"training done at step {step}")
 
@@ -214,7 +234,12 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
     n_total = len(dataset)
     eval_bs = int(cfg.data.get("eval_batch_size", 1))
     save_videos = bool(getattr(system.cfg, "save_intermediate_video", False))
-    out_dir = os.path.join(cfg.trial_dir, "save", f"it{step}")
+    # --test mirrors --validate (the reference's own test_step is
+    # NotImplementedError, systems/base.py:135-136; Lightning would route
+    # it to the test dataloader, which is the split our dataset already
+    # loads) but keeps its artifacts separate
+    suffix = "-test" if getattr(args, "test", False) else ""
+    out_dir = os.path.join(cfg.trial_dir, "save", f"it{step}{suffix}")
     sample_jit = None
     # multi-host: each process owns a round-robin shard of the eval set and
     # writes artifacts only for its scenes (reference: DistributedSampler +

@@ -97,3 +97,64 @@ def test_colormap(rng):
     assert c.min() >= 0 and c.max() <= 1
     d = depth_to_rgb(v)
     assert d.dtype == np.uint8
+
+
+def test_save_obj_with_material(tmp_path):
+    """Textured OBJ/MTL export (SaverMixin.save_obj, saving.py:533-713)."""
+    import numpy as np
+    from open_diffusiongs_tpu.utils.saving import save_obj
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    uv = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    nrm = np.array([[0, 0, 1]] * 3, np.float32)
+    rgb = np.array([[1, 0, 0]] * 3, np.float32)
+    tex = np.full((8, 8, 3), 0.5, np.float32)
+    paths = save_obj(str(tmp_path / "mesh"), v, f, v_nrm=nrm, v_tex=uv,
+                     v_rgb=rgb, save_mat=True, map_Kd=tex)
+    names = {os.path.basename(p) for p in paths}
+    assert names == {"mesh.obj", "mesh.mtl", "texture_kd.png"}
+    obj = open(tmp_path / "mesh.obj").read()
+    assert "mtllib mesh.mtl" in obj and "usemtl default" in obj
+    assert obj.count("vt ") == 3 and obj.count("vn ") == 3
+    assert "v 0.0 0.0 0.0 1.0 0.0 0.0" in obj      # vertex color appended
+    assert "f 1/1/1 2/2/2 3/3/3" in obj
+    mtl = open(tmp_path / "mesh.mtl").read()
+    assert "map_Kd texture_kd.png" in mtl and "newmtl default" in mtl
+
+
+def test_save_obj_plain(tmp_path):
+    import numpy as np
+    from open_diffusiongs_tpu.utils.saving import save_obj
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    (paths,) = (save_obj(str(tmp_path / "m.obj"), v, f),)
+    obj = open(paths[-1]).read()
+    assert "f 1// 2// 3//" in obj and "mtllib" not in obj
+
+
+def test_breadth_savers(tmp_path):
+    """Grayscale-colormap, npz, image-sequence video, xyz-points PLY
+    (SaverMixin breadth, reference saving.py:244-531)."""
+    import numpy as np
+    from open_diffusiongs_tpu.utils import saving as S
+    depth = np.linspace(0, 1, 64).reshape(8, 8)
+    p1 = S.save_grayscale_image(str(tmp_path / "d.png"), depth,
+                                data_range=(0, 1), cmap="turbo")
+    p2 = S.save_grayscale_image(str(tmp_path / "g.png"), depth, cmap=None)
+    assert os.path.exists(p1) and os.path.exists(p2)
+
+    p3 = S.save_data(str(tmp_path / "pkg"), {"a": np.ones(3)})
+    assert np.load(p3)["a"].sum() == 3
+
+    seq = tmp_path / "frames"
+    seq.mkdir()
+    for i in range(3):
+        S.save_image(str(seq / f"{i:03d}.png"),
+                     np.full((16, 16, 3), i / 3.0, np.float32))
+    p4 = S.save_img_sequence(str(tmp_path / "seq.avi"), str(seq))
+    assert os.path.getsize(p4) > 100
+
+    pts = np.random.default_rng(0).normal(size=(10, 3)).astype(np.float32)
+    p5 = S.save_xyz_points(str(tmp_path / "pts.ply"), pts, normals=pts)
+    head = open(p5).read()
+    assert "element vertex 10" in head and "property float nz" in head
