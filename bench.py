@@ -34,14 +34,14 @@ BASELINE_256_S = 6.0    # README.md:39 (paper claim, 1 GPU)
 BASELINE_512_S = 24.0   # README.md:74 (open-source 512 model)
 
 
-def _make_system(h, w, steps=30):
+def _make_system(h, w, steps=30, remat=False):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
     from open_diffusiongs_tpu.systems.object_system import (
         ObjectSystem, ObjectSystemConfig)
     return ObjectSystem(ObjectSystemConfig(
         num_inference_steps=steps,
         shape_model=dict(width=1024, num_layers=24, patch_size=8,
-                         dim_heads=64, dtype=jnp.bfloat16, remat=False),
+                         dim_heads=64, dtype=jnp.bfloat16, remat=remat),
         # K=1024: the lossless-in-practice capacity for 4-view pixel-aligned
         # models (docs/CAPACITY.md) — the bench renders what CUDA renders
         raster=RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=1024,
@@ -89,7 +89,10 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
     from open_diffusiongs_tpu.parallel.train_step import (
         OptimizerConfig, init_train_state, make_optimizer, make_train_step)
 
-    system = _make_system(h, w)
+    # remat=True: training without activation rematerialization OOMs at
+    # 24 layers (the reference trains with gradient checkpointing too,
+    # configs/diffusionGS_rel.yaml gradient_checkpointing)
+    system = _make_system(h, w, remat=True)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     tx = make_optimizer(OptimizerConfig(lr=1e-5))
     state = init_train_state(params, tx, ema_decay=0.9999)
@@ -139,19 +142,25 @@ def main():
     }
 
     if h == 256 and not os.environ.get("BENCH_SKIP_512"):
-        best512, compile512 = bench_sample(512, 512, n_views, steps)
-        out["image_to_3d_seconds_512"] = round(best512, 3)
-        # reference open-source claim: 24 s at 512 (README.md:74)
-        out["vs_baseline_512"] = round(best512 / BASELINE_512_S, 3)
-        out["compile_512_s"] = round(compile512, 1)
-        # 3 rendered views/step x 30 steps x (4 * 512^2) Gaussians
-        out["mgaussians_per_s_512"] = round(
-            steps * 3 * (n_views * 512 * 512) / best512 / 1e6, 1)
+        try:
+            best512, compile512 = bench_sample(512, 512, n_views, steps)
+            out["image_to_3d_seconds_512"] = round(best512, 3)
+            # reference open-source claim: 24 s at 512 (README.md:74)
+            out["vs_baseline_512"] = round(best512 / BASELINE_512_S, 3)
+            out["compile_512_s"] = round(compile512, 1)
+            # 3 rendered views/step x 30 steps x (4 * 512^2) Gaussians
+            out["mgaussians_per_s_512"] = round(
+                steps * 3 * (n_views * 512 * 512) / best512 / 1e6, 1)
+        except Exception as ex:  # noqa: BLE001 — keep the primary metric
+            out["error_512"] = str(ex)[:200]
 
     if h == 256 and not os.environ.get("BENCH_SKIP_TRAIN"):
-        ms, sps = bench_train_step(h, w)
-        out["train_step_ms_b1"] = round(ms, 1)
-        out["train_samples_per_sec_chip"] = round(sps, 3)
+        try:
+            ms, sps = bench_train_step(h, w)
+            out["train_step_ms_b1"] = round(ms, 1)
+            out["train_samples_per_sec_chip"] = round(sps, 3)
+        except Exception as ex:  # noqa: BLE001
+            out["error_train"] = str(ex)[:200]
 
     print(json.dumps(out))
 

@@ -63,6 +63,27 @@ class RasterizeConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16
     max_per_tile: int = 1024   # docs/CAPACITY.md: measured accuracy vs K
     blend_chunk: int = 32
+    # --- split (two-stream) binning ---------------------------------------
+    # The N*D key sort dominates binning, yet trained pixel-aligned models
+    # have E[rect area] ~ 1-2 tiles, so most of the D=16 slots are sentinel
+    # padding.  With split_slots = S > 0, stream A emits only S slots for
+    # ALL Gaussians (exact for rects <= S tiles) and stream B re-emits just
+    # the rare big-rect Gaussians (selected by a cheap N-key sort, capacity
+    # `big_select`, auto N/8) for their remaining slots S..D.  A small
+    # per-tile merge of the two depth-ordered candidate lists reconstructs
+    # the exact CUDA order.  Sort volume drops from N*D to
+    # N*S + big_select*(D-S) + T*(K + big_per_tile)  (~3-4x at 512^2).
+    split_slots: int = 0       # 0 = single-stream (exact baseline path)
+    big_select: int = 0        # max big-rect Gaussians per view (0 = N//8)
+    big_per_tile: int = 0      # per-tile candidates from stream B (0 = K//4)
+    # Inference-only: blend via lax.while_loop that STOPS once every pixel's
+    # transmittance has died or every per-tile list is exhausted — exactly
+    # CUDA's per-pixel early termination (forward.cu:341-351) lifted to the
+    # chunk level.  The per-chunk attribute gather moves inside the loop, so
+    # skipped chunks never touch HBM.  Bit-identical results (skipped
+    # contributions are provably zero).  NOT reverse-differentiable
+    # (lax.while_loop); training paths must keep the scan (False).
+    early_exit: bool = False
     # rematerialize each view's rasterization in backward instead of saving
     # the blend intermediates (the reference's DeferredGaussianRender memory
     # trick, gs_core.py:949-1064, as a one-line remat policy)
@@ -128,10 +149,191 @@ def preprocess_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
 
 class TileBins(NamedTuple):
     idx: jnp.ndarray        # [T, K] int32 Gaussian indices, depth-sorted
+    #   (an order[rank] element gather costs ~13 ms/view at 512^2, but
+    #   moving the permutation to the blend's attribute matrix was measured
+    #   WORSE: any ~1M-row gather costs 15-23 ms on v5e, and the [N, 10]
+    #   f32 permutation is bigger than the int32 rank gather it replaces)
     mask: jnp.ndarray       # [T, K] bool
     overflow_tiles: jnp.ndarray      # [] int32: rect tiles beyond D
     overflow_gaussians: jnp.ndarray  # [] int32: per-tile entries beyond K
     entries: jnp.ndarray             # [] int32: total binned entries
+
+
+def _emit_tile_rows(x0, y0, rw, area, valid, n_slots: int, slot0: int,
+                    tiles_x: int, num_tiles: int,
+                    start_x=None, start_y=None) -> jnp.ndarray:
+    """[S, N] int32 tile ids for rect slots slot0..slot0+S (row-major walk
+    within each rect), sentinel `num_tiles` for out-of-area/invalid slots.
+
+    Slot-major layout keeps N on the TPU lane axis ([N, 16] arrays put a
+    16-wide minor dim on the 128-lane registers).  Slot s maps to (s % rw, s // rw);
+    integer div/mod by a runtime divisor lowers to ~30 VPU ops each, so an
+    unrolled incremental walk (~2 ops/step) generates the offsets;
+    `start_x/start_y` seed the walk when slot0 > 0 (split stream B).
+    """
+    safe_rw = jnp.maximum(rw, 1)
+    ox = jnp.zeros_like(rw) if start_x is None else start_x
+    oy = jnp.zeros_like(rw) if start_y is None else start_y
+    rows = []
+    for j in range(n_slots):
+        ok = ((slot0 + j) < area) & valid
+        rows.append(jnp.where(ok, (y0 + oy) * tiles_x + (x0 + ox), num_tiles))
+        nx1 = ox + 1
+        wrap = nx1 >= safe_rw
+        ox = jnp.where(wrap, 0, nx1)
+        oy = oy + wrap.astype(oy.dtype)
+    return jnp.stack(rows, axis=0).astype(jnp.int32)
+
+
+def _row_gather(arr: jnp.ndarray, starts: jnp.ndarray, cap: int, pad_val
+                ) -> jnp.ndarray:
+    """[T, cap] contiguous rows arr[starts[t] : starts[t]+cap].
+
+    The per-tile candidate ranges are contiguous in the sorted key array,
+    so a vmapped dynamic_slice (one DMA row per tile) replaces the flat
+    element gather of T*K positions (measured ~23 -> ~3 ms per view at
+    512^2).  `arr` is padded with `cap` sentinels so no slice clamps.
+    """
+    padded = jnp.concatenate([arr, jnp.full((cap,), pad_val, arr.dtype)])
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (cap,)))(starts)
+
+
+def _depth_ranks(depth: jnp.ndarray) -> jnp.ndarray:
+    """[N] int32 depth rank of every Gaussian (0 = nearest; ties by index,
+    matching cub radix stability).  Two small N-element sorts instead of a
+    scatter of the argsort (XLA scatter on TPU measured ~24 ms/M, sorts
+    ~4 ms/M): the second sort inverts the permutation."""
+    n = depth.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, order = jax.lax.sort((depth, idx), num_keys=1, is_stable=True)
+    _, inv = jax.lax.sort((order, idx), num_keys=1, is_stable=True)
+    return inv
+
+
+def _sorted_stream_bounds(tile_rows: jnp.ndarray, ranks, rank_bits: int,
+                          num_tiles: int):
+    """Pack (tile, depth-rank) into ONE uint32 key, sort it together with
+    an original-index payload, and recover per-tile [starts, counts].
+
+    `tile_rows` is [S, N] (sentinel = num_tiles); `ranks` is [N] uint32
+    depth ranks (unique, so an unstable single-key sort reproduces the
+    stable (tile, depth) order).  Carrying the index as a sort payload is
+    ~2x cheaper than a post-hoc order[rank] element gather: sorts stream
+    sequentially through HBM while 1M-scale random gathers run at
+    ~13-15 ms/view on v5e regardless of element size.
+
+    Returns (key_sorted [S*N], idx_sorted [S*N], starts [T], counts [T]).
+    """
+    n = tile_rows.shape[1]
+    key = ((tile_rows.astype(jnp.uint32) << rank_bits)
+           | ranks[None, :]).reshape(-1)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                           tile_rows.shape).reshape(-1)
+    key_s, idx_s = jax.lax.sort((key, idx), num_keys=1, is_stable=False)
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
+    bounds = jnp.searchsorted(key_s, tids, side="left").astype(jnp.int32)
+    return key_s, idx_s, bounds[:-1], bounds[1:] - bounds[:-1]
+
+
+def _bin_tiles_split(pre: PreprocessedView, tiles_x: int, tiles_y: int,
+                     cfg: RasterizeConfig) -> TileBins:
+    """Two-stream binning: small-rect stream A (S slots, all N Gaussians)
+    + big-rect stream B (slots S..D, only the `big_select` Gaussians whose
+    rect exceeds S tiles), merged per tile by depth rank.
+
+    Exactly reproduces the single-stream `bin_tiles` (same CUDA order,
+    rasterizer_impl.cu:277-314) whenever every big-rect Gaussian is
+    selected and per-tile stream-B candidates fit in big_per_tile; both
+    caps are counted in the overflow diagnostics, never silent.
+    """
+    n = pre.depth.shape[0]
+    d_slots = cfg.max_tiles_per_gaussian
+    s_slots = cfg.split_slots
+    num_tiles = tiles_x * tiles_y
+    K = cfg.max_per_tile
+    m_big = cfg.big_select or max(1, n // 8)
+    m_big = min(m_big, n)
+    k_big = cfg.big_per_tile or max(8, K // 4)
+    rank_bits = max(1, (n - 1).bit_length())
+    sent = jnp.uint32(1 << rank_bits)                      # > any rank
+
+    x0, y0 = pre.rect[:, 0], pre.rect[:, 1]
+    rw = pre.rect[:, 2] - x0
+    rh = pre.rect[:, 3] - y0
+    area = rw * rh
+    inv = _depth_ranks(pre.depth)                          # [N]
+
+    # --- stream A: slots [0, S) for all N --------------------------------
+    tile_a = _emit_tile_rows(x0, y0, rw, area, pre.valid, s_slots, 0,
+                             tiles_x, num_tiles)
+    key_as, idxs_a, starts_a, counts_a = _sorted_stream_bounds(
+        tile_a, inv.astype(jnp.uint32), rank_bits, num_tiles)
+
+    # --- select big-rect Gaussians (area > S) -----------------------------
+    is_big = pre.valid & (area > s_slots)
+    _, big_idx = jax.lax.sort(
+        ((~is_big).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    n_big = jnp.sum(is_big.astype(jnp.int32))
+    big_idx = big_idx[:m_big]                              # [M] orig indices
+    sel_ok = jnp.arange(m_big, dtype=jnp.int32) < n_big
+
+    x0_b = x0[big_idx]
+    y0_b = y0[big_idx]
+    area_b = area[big_idx]
+    rw_b = jnp.maximum(rw[big_idx], 1)
+    inv_b = inv[big_idx]
+    # stream B starts its walk at slot S: offset (S % rw, S // rw)
+    tile_b = _emit_tile_rows(x0_b, y0_b, rw_b, area_b, sel_ok,
+                             d_slots - s_slots, s_slots, tiles_x, num_tiles,
+                             start_x=s_slots % rw_b, start_y=s_slots // rw_b)
+    # stream B payload must be the ORIGINAL index: sort it alongside
+    key_b = ((tile_b.astype(jnp.uint32) << rank_bits)
+             | inv_b.astype(jnp.uint32)[None, :]).reshape(-1)
+    idx_b_rows = jnp.broadcast_to(big_idx[None, :],
+                                  tile_b.shape).reshape(-1)
+    key_bs, idxs_b = jax.lax.sort((key_b, idx_b_rows), num_keys=1,
+                                  is_stable=False)
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
+    bounds_b = jnp.searchsorted(key_bs, tids, side="left").astype(jnp.int32)
+    starts_b, counts_b = bounds_b[:-1], bounds_b[1:] - bounds_b[:-1]
+
+    # --- per-tile gather + rank merge -------------------------------------
+    def gather_pairs(key_s, idx_s, starts, counts, cap):
+        kk = jnp.arange(cap, dtype=jnp.int32)
+        ok = kk[None, :] < jnp.minimum(counts, cap)[:, None]
+        r = _row_gather(key_s, starts, cap, jnp.uint32(0xFFFFFFFF))
+        r = jnp.where(ok, r & jnp.uint32((1 << rank_bits) - 1), sent)
+        i = _row_gather(idx_s, starts, cap, jnp.int32(0))
+        return r, i
+
+    ranks_a, idxg_a = gather_pairs(key_as, idxs_a, starts_a, counts_a, K)
+    ranks_b, idxg_b = gather_pairs(key_bs, idxs_b, starts_b, counts_b, k_big)
+    # merge the two depth-ordered candidate lists per tile: a small sort of
+    # [T, K + k_big] ranks (sentinel-padded) with the index as payload
+    merged, idx_m = jax.lax.sort(
+        (jnp.concatenate([ranks_a, ranks_b], axis=1),
+         jnp.concatenate([idxg_a, idxg_b], axis=1)), num_keys=1,
+        is_stable=False)
+    merged, idx = merged[:, :K], idx_m[:, :K]               # [T, K]
+    mask = merged < sent
+
+    # --- diagnostics (exact, never silent) --------------------------------
+    entries = jnp.sum(counts_a) + jnp.sum(counts_b)
+    kept = jnp.sum(jnp.minimum(
+        jnp.minimum(counts_a, K) + jnp.minimum(counts_b, k_big), K))
+    overflow_gaussians = entries - kept
+    # tile slots lost: rects beyond D (as single-stream) + slots S..D of
+    # big Gaussians that did not fit in the big_select capacity
+    unselected_loss = jnp.sum(
+        jnp.where(is_big, jnp.minimum(area, d_slots) - s_slots, 0)
+    ) - jnp.sum(jnp.where(sel_ok, jnp.minimum(area_b, d_slots) - s_slots, 0))
+    overflow_tiles = jnp.sum(
+        jnp.where(pre.valid, jnp.maximum(area - d_slots, 0), 0)
+    ) + unselected_loss
+    return TileBins(idx=idx, mask=mask, overflow_tiles=overflow_tiles,
+                    overflow_gaussians=overflow_gaussians, entries=entries)
 
 
 def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
@@ -143,87 +345,58 @@ def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
     (tile_id, depth, idx) records (invalid ones get sentinel tile T), one
     stable lexicographic sort orders them, searchsorted recovers per-tile
     ranges, and a static K-capacity gather yields [T, K] candidate lists.
+
+    With cfg.split_slots > 0 the two-stream variant (`_bin_tiles_split`)
+    replaces the single N*D sort — see RasterizeConfig.
     """
     n = pre.depth.shape[0]
     d_slots = cfg.max_tiles_per_gaussian
     num_tiles = tiles_x * tiles_y
 
-    # 1. Depth pre-sort of the N Gaussians (small), so the later tile sort
-    #    only needs ONE int32 key: a stable tile sort of a depth-ordered
-    #    stream yields exactly the CUDA (tile, depth-bits) radix order —
-    #    ~25% cheaper than the multi-key sort of N*D elements.
-    _, order = jax.lax.sort(
-        (pre.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
-        is_stable=True)
-    rect_d = pre.rect[order]
-    valid_d = pre.valid[order]
-
-    rw = rect_d[:, 2] - rect_d[:, 0]                       # [N]
-    rh = rect_d[:, 3] - rect_d[:, 1]
-    area = rw * rh
-    overflow_tiles = jnp.sum(
-        jnp.where(valid_d, jnp.maximum(area - d_slots, 0), 0))
-
-    s = jnp.arange(d_slots, dtype=jnp.int32)               # [D]
-    # row-major within rect: slot s -> (s % rw, s // rw).  Integer div/mod
-    # by a runtime divisor lowers to ~30 VPU ops each (measured ~20ms/view
-    # at 512^2); an unrolled incremental walk over the D slots is ~2 ops
-    # per step.
-    safe_rw = jnp.maximum(rw, 1)
-    ox = jnp.zeros_like(rw)
-    oy = jnp.zeros_like(rw)
-    off_cols = []
-    for _ in range(d_slots):
-        off_cols.append((ox, oy))
-        nx1 = ox + 1
-        wrap = nx1 >= safe_rw
-        ox = jnp.where(wrap, 0, nx1)
-        oy = oy + wrap.astype(oy.dtype)
-    off_x = jnp.stack([c[0] for c in off_cols], axis=1)    # [N, D]
-    off_y = jnp.stack([c[1] for c in off_cols], axis=1)
-    tx = rect_d[:, 0:1] + off_x
-    ty = rect_d[:, 1:2] + off_y
-    slot_ok = (s[None, :] < area[:, None]) & valid_d[:, None]
-    tile_id = jnp.where(slot_ok, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-
     rank_bits = max(1, (n - 1).bit_length())               # depth rank < n
     tile_bits = (num_tiles + 1 - 1).bit_length()           # incl. sentinel
-    if rank_bits + tile_bits <= 32:
-        # Pack (tile, depth-rank) into ONE uint32 key and sort a single
-        # array: same order as the stable (tile, depth) sort (ranks are
-        # unique so stability is moot), at half the sort data movement.
-        rank = jnp.arange(n, dtype=jnp.uint32)
-        key = ((tile_id.astype(jnp.uint32) << rank_bits)
-               | rank[:, None]).reshape(-1)
-        key_s = jax.lax.sort(key, is_stable=False)
-        tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
-        bounds = jnp.searchsorted(key_s, tids, side="left").astype(jnp.int32)
-        starts, ends = bounds[:-1], bounds[1:]
-        # defer rank extraction + the rank -> original-index mapping to
-        # after the [T, K] gather (T*K elements instead of N*D)
-        rank_s = None
-        idx_s = None
-    else:  # shapes too large for 32-bit packing: two-array stable sort
-        gidx = jnp.broadcast_to(order[:, None], (n, d_slots))
-        tile_s, idx_s = jax.lax.sort(
-            (tile_id.reshape(-1), gidx.reshape(-1)), num_keys=1,
-            is_stable=True)
-        tids = jnp.arange(num_tiles, dtype=jnp.int32)
-        starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-        ends = jnp.searchsorted(tile_s, tids + 1, side="left").astype(jnp.int32)
+    if (0 < cfg.split_slots < d_slots) and rank_bits + tile_bits <= 32:
+        return _bin_tiles_split(pre, tiles_x, tiles_y, cfg)
 
-    counts = ends - starts
-    entries = jnp.sum(counts)
-    overflow_gaussians = jnp.sum(jnp.maximum(counts - cfg.max_per_tile, 0))
+    # Emit tile rows from the ORIGINAL (unsorted) arrays — no gathers; the
+    # CUDA (tile, depth-bits) radix order is reproduced by packing each
+    # Gaussian's depth RANK (computed with two small sorts) into the key.
+    x0, y0 = pre.rect[:, 0], pre.rect[:, 1]
+    rw = pre.rect[:, 2] - x0
+    rh = pre.rect[:, 3] - y0
+    area = rw * rh
+    overflow_tiles = jnp.sum(
+        jnp.where(pre.valid, jnp.maximum(area - d_slots, 0), 0))
+
+    tile_rows = _emit_tile_rows(x0, y0, rw, area, pre.valid, d_slots, 0,
+                                tiles_x, num_tiles)        # [D, N]
+    inv = _depth_ranks(pre.depth)                          # [N]
 
     k = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
-    gather_pos = jnp.clip(starts[:, None] + k[None, :], 0, n * d_slots - 1)
-    if idx_s is None:
-        key_g = key_s[gather_pos]                          # [T, K]
-        rank_g = (key_g & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
-        idx_mat = order[rank_g]
-    else:
-        idx_mat = idx_s[gather_pos]                        # [T, K]
+    if rank_bits + tile_bits <= 32:
+        # ONE uint32 (tile << bits | rank) key + an index payload: same
+        # order as a stable (tile, depth) sort (ranks are unique), at a
+        # fraction of the data movement, and the payload removes the
+        # order[rank] element gather entirely.
+        _, idx_s, starts, counts = _sorted_stream_bounds(
+            tile_rows, inv.astype(jnp.uint32), rank_bits, num_tiles)
+        idx_mat = _row_gather(idx_s, starts, cfg.max_per_tile,
+                              jnp.int32(0))                # [T, K]
+    else:  # shapes too large for 32-bit packing: two-key sort
+        bcast = lambda a: jnp.broadcast_to(a[None, :],
+                                           (d_slots, n)).reshape(-1)
+        tile_s, _, idx_s = jax.lax.sort(
+            (tile_rows.reshape(-1), bcast(inv),
+             bcast(jnp.arange(n, dtype=jnp.int32))), num_keys=2,
+            is_stable=False)
+        tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
+        starts, counts = bounds[:-1], bounds[1:] - bounds[:-1]
+        idx_mat = _row_gather(idx_s, starts, cfg.max_per_tile,
+                              jnp.int32(0))                # [T, K]
+
+    entries = jnp.sum(counts)
+    overflow_gaussians = jnp.sum(jnp.maximum(counts - cfg.max_per_tile, 0))
     mask = k[None, :] < jnp.minimum(counts, cfg.max_per_tile)[:, None]
     return TileBins(idx=idx_mat, mask=mask, overflow_tiles=overflow_tiles,
                     overflow_gaussians=overflow_gaussians, entries=entries)
@@ -252,12 +425,6 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
     packed = jnp.concatenate(
         [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
          pre.depth[:, None]], axis=-1)
-    g_all = packed[bins.idx]                                # [T, K, 10]
-    g_xy = g_all[..., 0:2]
-    g_conic = g_all[..., 2:5]
-    g_color = g_all[..., 5:8]
-    g_opa = g_all[..., 8]
-    g_depth = g_all[..., 9]
 
     # Pixel centers per tile: [T, ppt, 2]  (pixf = integer coords, forward.cu:283)
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -298,18 +465,49 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         return (t_run, dead, acc_c, acc_d), None
 
     n_chunks = K // kc
-    chunks = jax.tree.map(
-        lambda x: x.reshape(num_tiles, n_chunks, kc, *x.shape[2:])
-                   .swapaxes(0, 1),
-        (g_xy, g_conic, g_color, g_opa, g_depth, bins.mask))
     init = (jnp.ones((num_tiles, ppt), jnp.float32),
             jnp.zeros((num_tiles, ppt), bool),
             jnp.zeros((num_tiles, ppt, 3), jnp.float32),
             jnp.zeros((num_tiles, ppt), jnp.float32))
-    # checkpoint the chunk body: backward recomputes the [T, kc, ppt]
-    # blend intermediates per chunk instead of saving all n_chunks of them
-    (t_fin, _, acc_c, acc_d), _ = jax.lax.scan(
-        jax.checkpoint(chunk, prevent_cse=False), init, chunks)
+
+    def slice_chunk(arr, c, width):
+        return jax.lax.dynamic_slice(arr, (0, c * kc) + (0,) * (arr.ndim - 2),
+                                     (num_tiles, width) + arr.shape[2:])
+
+    if cfg.early_exit:
+        # Chunk-level CUDA early termination (forward.cu:341-351): stop as
+        # soon as every pixel is saturated or every tile list is exhausted.
+        # The gather runs inside the loop, so skipped chunks cost nothing.
+        def cond(carry):
+            c, _, dead, _, _ = carry
+            cc = jnp.minimum(c, n_chunks - 1)
+            m = slice_chunk(bins.mask, cc, kc)              # [T, kc]
+            tile_alive = ~jnp.all(dead, axis=1)             # [T]
+            return (c < n_chunks) & jnp.any(jnp.any(m, axis=1) & tile_alive)
+
+        def body(carry):
+            c, t_run, dead, acc_c, acc_d = carry
+            idx_c = slice_chunk(bins.idx, c, kc)            # [T, kc]
+            m_c = slice_chunk(bins.mask, c, kc)
+            g = packed[idx_c]                               # [T, kc, 10]
+            state, _ = chunk((t_run, dead, acc_c, acc_d),
+                             (g[..., 0:2], g[..., 2:5], g[..., 5:8],
+                              g[..., 8], g[..., 9], m_c))
+            return (c + 1,) + state
+
+        _, t_fin, _, acc_c, acc_d = jax.lax.while_loop(
+            cond, body, (jnp.int32(0),) + init)
+    else:
+        g_all = packed[bins.idx]                            # [T, K, 10]
+        chunks = jax.tree.map(
+            lambda x: x.reshape(num_tiles, n_chunks, kc, *x.shape[2:])
+                       .swapaxes(0, 1),
+            (g_all[..., 0:2], g_all[..., 2:5], g_all[..., 5:8],
+             g_all[..., 8], g_all[..., 9], bins.mask))
+        # checkpoint the chunk body: backward recomputes the [T, kc, ppt]
+        # blend intermediates per chunk instead of saving all n_chunks
+        (t_fin, _, acc_c, acc_d), _ = jax.lax.scan(
+            jax.checkpoint(chunk, prevent_cse=False), init, chunks)
 
     color = acc_c + t_fin[..., None] * bg[None, None, :]    # forward.cu:370-372
     # [T, ppt, c] -> [ty, tx, py, px, c] -> [Hp, Wp, c]

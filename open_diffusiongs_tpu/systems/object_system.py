@@ -206,13 +206,17 @@ class ObjectSystem:
         ray_o, ray_d = rays_chw(c2w, fxfycxcy, h, w)
         rc2w = c2w[:, skip_cond_render:]
         rfxy = fxfycxcy[:, skip_cond_render:]
+        # inference never differentiates through the render: use the
+        # early-exit blend (bit-identical, skips saturated depth chunks)
+        rcfg = (self.cfg.raster if training
+                else self.cfg.raster._replace(early_exit=True))
 
         def model_fn(images, t):
             g, pix_xyz = self.model.apply(params, images, ray_o, ray_d, t,
                                           training=training)
             out = rasterize.render(g, rc2w, rfxy, h, w,
                                    bg_color=self.cfg.bg_color,
-                                   cfg=self.cfg.raster)
+                                   cfg=rcfg)
             return out["render"].astype(jnp.float32), (g, out["alpha"])
         return model_fn
 

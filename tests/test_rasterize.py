@@ -155,3 +155,79 @@ def test_numeric_gradcheck_tiny():
     from jax.test_util import check_grads
     check_grads(f, (g.features, g.opacity), order=1, modes=["rev"],
                 atol=2e-2, rtol=2e-2)
+
+
+def _mixed_population(rng, n=4096, n_big=200):
+    """Mostly small rects plus a tail of huge ones (exercises stream B)."""
+    g = random_gaussians(rng, 1, n)
+    scaling = np.asarray(g[2])
+    scaling[0, :n_big] = rng.normal(-0.5, 0.2, (n_big, 3))
+    return Gaussians(jnp.asarray(g[0]), jnp.asarray(g[1]),
+                     jnp.asarray(scaling), jnp.asarray(g[3]),
+                     jnp.asarray(g[4]))
+
+
+def test_split_binning_exact_vs_single_stream(rng):
+    """With full big capacity the two-stream binning must reproduce the
+    single-stream bins (and hence the exact CUDA order) bit-for-bit."""
+    g = _mixed_population(rng)
+    n = g.xyz.shape[1]
+    c2ws, fxy = orbit_cameras(2, h=H, w=W)
+    c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
+    base = rz.RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                              blend_chunk=32)
+    split = base._replace(split_slots=4, big_select=n, big_per_tile=512)
+    out1 = rz.render(g, c2w, fxy, H, W, cfg=base)
+    out2 = rz.render(g, c2w, fxy, H, W, cfg=split)
+    np.testing.assert_array_equal(np.asarray(out1["render"]),
+                                  np.asarray(out2["render"]))
+    np.testing.assert_array_equal(np.asarray(out1["alpha"]),
+                                  np.asarray(out2["alpha"]))
+    assert int(out1["overflow_gaussians"]) == int(out2["overflow_gaussians"])
+    assert int(out1["overflow_tiles"]) == int(out2["overflow_tiles"])
+    assert int(out1["binned_entries"]) == int(out2["binned_entries"])
+
+
+def test_split_binning_capped_counters(rng):
+    """Undersized big_select / big_per_tile must surface in the overflow
+    counters (never silent), and rendering must still run."""
+    g = _mixed_population(rng)
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
+    cfg = rz.RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                             blend_chunk=32, split_slots=4, big_select=16,
+                             big_per_tile=8)
+    out = rz.render(g, c2w, fxy, H, W, cfg=cfg)
+    assert int(out["overflow_tiles"]) > 0  # unselected big rect slots
+    assert np.isfinite(np.asarray(out["render"])).all()
+
+
+def test_split_binning_gradients_match(rng):
+    """AD gradients through the split path equal the single-stream path."""
+    g = _mixed_population(rng, n=512, n_big=32)
+    n = g.xyz.shape[1]
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
+    base = rz.RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=1024,
+                              blend_chunk=32)
+    split = base._replace(split_slots=4, big_select=n, big_per_tile=1024)
+
+    def loss(xyz, cfg):
+        out = rz.render(g._replace(xyz=xyz), c2w, fxy, H, W, cfg=cfg)
+        return jnp.sum(out["render"] ** 2)
+
+    g1 = jax.grad(lambda x: loss(x, base))(g.xyz)
+    g2 = jax.grad(lambda x: loss(x, split))(g.xyz)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_early_exit_blend_bit_identical(rng):
+    """The while_loop early-exit blend (inference path) must match the
+    scan blend bit-for-bit — skipped chunks are provably zero."""
+    g, c2w, fxy = _scene(rng)
+    out_s = rz.render(g, c2w, fxy, H, W, cfg=CFG)
+    out_w = rz.render(g, c2w, fxy, H, W, cfg=CFG._replace(early_exit=True))
+    for k in ("render", "alpha", "depth"):
+        np.testing.assert_array_equal(np.asarray(out_s[k]),
+                                      np.asarray(out_w[k]))

@@ -87,6 +87,11 @@ def main():
     ap.add_argument("--d", type=int, default=16)
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--split", type=int, default=0,
+                    help="split_slots S for two-stream binning (0 = off)")
+    ap.add_argument("--big-select", type=int, default=0)
+    ap.add_argument("--big-per-tile", type=int, default=0)
+    ap.add_argument("--early-exit", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _orbit_cameras
@@ -97,7 +102,9 @@ def main():
     n = args.views * h * w
     cfg = rasterize.RasterizeConfig(
         max_tiles_per_gaussian=args.d, max_per_tile=args.k,
-        blend_chunk=args.chunk)
+        blend_chunk=args.chunk, split_slots=args.split,
+        big_select=args.big_select, big_per_tile=args.big_per_tile,
+        early_exit=args.early_exit)
     tiles_x = tiles_y = -(-w // rasterize.TILE)
 
     g = synth_gaussians(n, np.random.default_rng(0))
@@ -144,41 +151,26 @@ def main():
         lambda e: jax.lax.sort(key_demo ^ jnp.uint32(e), is_stable=False),
         iters=args.iters)
 
-    # bin-internal breakdown: key construction (rect -> [N, D] tile ids ->
+    # bin-internal breakdown: key construction (rect -> [D, N] tile rows ->
     # packed keys) vs sorting the REAL keys vs range-recovery+gather
+    rank_bits = max(1, (n - 1).bit_length())
+    num_tiles = tiles_x * tiles_y
+
     def make_keys(p):
         d_slots = cfg.max_tiles_per_gaussian
-        num_tiles = tiles_x * tiles_y
         _, order = jax.lax.sort(
             (p.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
             is_stable=True)
         rect_d = p.rect[order]
-        valid_d = p.valid[order]
-        rw = rect_d[:, 2] - rect_d[:, 0]
-        rh = rect_d[:, 3] - rect_d[:, 1]
-        area = rw * rh
-        s = jnp.arange(d_slots, dtype=jnp.int32)
-        safe_rw = jnp.maximum(rw, 1)
-        ox = jnp.zeros_like(rw)
-        oy = jnp.zeros_like(rw)
-        cols = []
-        for _ in range(d_slots):
-            cols.append((ox, oy))
-            nx1 = ox + 1
-            wrap = nx1 >= safe_rw
-            ox = jnp.where(wrap, 0, nx1)
-            oy = oy + wrap.astype(oy.dtype)
-        off_x = jnp.stack([c[0] for c in cols], axis=1)
-        off_y = jnp.stack([c[1] for c in cols], axis=1)
-        tx = rect_d[:, 0:1] + off_x
-        ty = rect_d[:, 1:2] + off_y
-        slot_ok = (s[None, :] < area[:, None]) & valid_d[:, None]
-        tile_id = jnp.where(slot_ok, ty * tiles_x + tx,
-                            num_tiles).astype(jnp.int32)
-        rank_bits = max(1, (n - 1).bit_length())
+        x0, y0 = rect_d[:, 0], rect_d[:, 1]
+        rw = rect_d[:, 2] - x0
+        rh = rect_d[:, 3] - y0
+        tile_rows = rasterize._emit_tile_rows(
+            x0, y0, rw, rw * rh, p.valid[order], d_slots, 0, tiles_x,
+            num_tiles)
         rank = jnp.arange(n, dtype=jnp.uint32)
-        key = ((tile_id.astype(jnp.uint32) << rank_bits)
-               | rank[:, None]).reshape(-1)
+        key = ((tile_rows.astype(jnp.uint32) << rank_bits)
+               | rank[None, :]).reshape(-1)
         return key, order
 
     keys_fn = jax.jit(make_keys)
@@ -193,16 +185,12 @@ def main():
         real_key)
 
     def recover(kk, order_):
-        rank_bits = max(1, (n - 1).bit_length())
-        num_tiles = tiles_x * tiles_y
         tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
         bounds = jnp.searchsorted(kk, tids, side="left").astype(jnp.int32)
-        starts = bounds[:-1]
-        rank_s = (kk & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
-        kr = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
-        gather_pos = jnp.clip(starts[:, None] + kr[None, :], 0,
-                              n * cfg.max_tiles_per_gaussian - 1)
-        return order_[rank_s[gather_pos]]
+        key_g = rasterize._row_gather(kk, bounds[:-1], cfg.max_per_tile,
+                                      jnp.uint32(0xFFFFFFFF))
+        rank_g = (key_g & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
+        return order_[jnp.minimum(rank_g, n - 1)]
 
     rec_fn = jax.jit(recover)
     t_recover = loop_timed(
