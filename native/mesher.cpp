@@ -36,10 +36,13 @@ struct V3 {
 // The 6 tetrahedra of a unit cube sharing the main diagonal (0 -> 7).
 // Cube corner numbering: bit 0 = x, bit 1 = y, bit 2 = z
 // (corner i at (i&1, (i>>1)&1, (i>>2)&1)).  Each tet is a 0->7 path via
-// two adjacent corners; together they partition the cube.
+// two adjacent corners; together they partition the cube.  Every tet is
+// listed in POSITIVE orientation (det[v1-v0, v2-v0, v3-v0] > 0) so the
+// per-case winding in do_tet yields globally consistent outward normals
+// (the original {0,2,7,3} was negative: 1/6 of triangles came out flipped).
 static const int kTets6[6][4] = {
     {0, 1, 3, 7}, {0, 1, 7, 5}, {0, 5, 7, 4},
-    {0, 4, 7, 6}, {0, 6, 7, 2}, {0, 2, 7, 3},
+    {0, 4, 7, 6}, {0, 6, 7, 2}, {0, 3, 2, 7},
 };
 
 struct MeshBuilder {
@@ -131,16 +134,16 @@ static void do_tet(MeshBuilder& mb, const uint64_t k[4], const V3 p[4],
       mb.add_tri(a, d, c);
       break;
     }
-    case 6: {  // corners 1, 2 inside
-      int32_t a = ev(0, 1), b = ev(0, 2), c = ev(2, 3), d = ev(1, 3);
-      mb.add_tri(a, b, c);
-      mb.add_tri(a, c, d);
-      break;
-    }
-    case 9: {
+    case 6: {  // corners 1, 2 inside: away from them = decreasing x+y
       int32_t a = ev(0, 1), b = ev(0, 2), c = ev(2, 3), d = ev(1, 3);
       mb.add_tri(a, c, b);
       mb.add_tri(a, d, c);
+      break;
+    }
+    case 9: {  // corners 0, 3 inside
+      int32_t a = ev(0, 1), b = ev(0, 2), c = ev(2, 3), d = ev(1, 3);
+      mb.add_tri(a, b, c);
+      mb.add_tri(a, c, d);
       break;
     }
   }

@@ -85,9 +85,14 @@ def _splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
         splash_attention_kernel as sak, splash_attention_mask as sam)
 
     b, l, h, d = q.shape
-    lp = -(-l // 512) * 512
+    # Block sweep on v5e (tools/bench_attn.py): at L~16k, 1024^2 fwd blocks
+    # run 18.3 ms/layer vs 20.0 at 512^2 (34.5% MFU; d=64 on the 128-deep
+    # MXU caps the ceiling at ~50%); at L~4k the extra padding to a 1024
+    # multiple loses more than the bigger blocks gain.
+    blk = 1024 if l >= 8192 else 512
+    lp = -(-l // blk) * blk
     block = sak.BlockSizes(
-        block_q=512, block_kv=512, block_kv_compute=512,
+        block_q=blk, block_kv=blk, block_kv_compute=blk,
         block_q_dkv=512, block_kv_dkv=512, block_kv_dkv_compute=512,
         use_fused_bwd_kernel=True)
     mask = sam.MultiHeadMask([sam.FullMask((lp, lp)) for _ in range(h)])

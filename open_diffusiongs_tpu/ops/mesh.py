@@ -316,3 +316,69 @@ def save_mesh_obj(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for t in tris:
             f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals (reference geometry/utils.py
+    Mesh._compute_vertex_normal: cross-product face normals scattered to
+    vertices, then normalized)."""
+    verts = np.asarray(verts, np.float64).reshape(-1, 3)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                  verts[tris[:, 2]] - verts[tris[:, 0]])  # 2*area * normal
+    vn = np.zeros_like(verts)
+    for c in range(3):
+        np.add.at(vn, tris[:, c], fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    vn = np.where(norm > 1e-20, vn / np.maximum(norm, 1e-20),
+                  np.array([0.0, 0.0, 1.0]))
+    return vn.astype(np.float32)
+
+
+def vertex_tangents(verts: np.ndarray, tris: np.ndarray, uvs: np.ndarray,
+                    normals: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-vertex tangents from UVs (reference geometry/utils.py
+    Mesh._compute_vertex_tangent): per-face tangent from the UV Jacobian,
+    accumulated per vertex, then Gram-Schmidt-orthogonalized against the
+    normal.  Needed for normal-mapped textured OBJ export."""
+    verts = np.asarray(verts, np.float64).reshape(-1, 3)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    uvs = np.asarray(uvs, np.float64).reshape(-1, 2)
+    if normals is None:
+        normals = vertex_normals(verts, tris)
+    normals = np.asarray(normals, np.float64).reshape(-1, 3)
+
+    e1 = verts[tris[:, 1]] - verts[tris[:, 0]]
+    e2 = verts[tris[:, 2]] - verts[tris[:, 0]]
+    du1 = uvs[tris[:, 1]] - uvs[tris[:, 0]]
+    du2 = uvs[tris[:, 2]] - uvs[tris[:, 0]]
+    det = du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0]
+    r = np.where(np.abs(det) > 1e-20, 1.0 / np.where(det == 0, 1.0, det), 0.0)
+    tang = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r[:, None]
+    vt = np.zeros_like(verts)
+    for c in range(3):
+        np.add.at(vt, tris[:, c], tang)
+    # orthogonalize against the normal
+    vt = vt - normals * np.sum(vt * normals, axis=-1, keepdims=True)
+    norm = np.linalg.norm(vt, axis=-1, keepdims=True)
+    fallback = np.cross(normals, np.array([0.0, 1.0, 0.0]))
+    fb_norm = np.linalg.norm(fallback, axis=-1, keepdims=True)
+    fallback = np.where(fb_norm > 1e-6, fallback / np.maximum(fb_norm, 1e-20),
+                        np.array([1.0, 0.0, 0.0]))
+    vt = np.where(norm > 1e-10, vt / np.maximum(norm, 1e-20), fallback)
+    return vt.astype(np.float32)
+
+
+def spherical_uvs(verts: np.ndarray,
+                  center: Optional[np.ndarray] = None) -> np.ndarray:
+    """Simple spherical-projection UV parameterization for quick textured
+    export when no atlas exists (the reference relies on external tools
+    for unwrapping; this gives a dependency-free default)."""
+    verts = np.asarray(verts, np.float64).reshape(-1, 3)
+    if center is None:
+        center = verts.mean(axis=0)
+    d = verts - center
+    r = np.linalg.norm(d, axis=-1)
+    u = 0.5 + np.arctan2(d[:, 2], d[:, 0]) / (2.0 * np.pi)
+    v = 0.5 + np.arcsin(np.clip(d[:, 1] / np.maximum(r, 1e-20), -1, 1)) / np.pi
+    return np.stack([u, v], axis=-1).astype(np.float32)

@@ -163,3 +163,38 @@ def test_clean_mesh_merges_close_vertices():
     v2, t2 = clean_mesh(verts, tris, v_pct=1.0, min_f=0, min_d=0.0)
     assert len(v2) == 4              # the two eps-pairs merged
     assert len(t2) == 2
+
+
+def test_vertex_normals_sphere():
+    """Normals on a sphere mesh must point radially outward."""
+    import numpy as np
+    from open_diffusiongs_tpu.ops import mesh as mesh_lib
+    # icosphere-ish: marching tets over a sphere SDF
+    res = 24
+    g = np.mgrid[0:res, 0:res, 0:res].astype(np.float32)
+    c = (res - 1) / 2.0
+    d = 8.0 - np.sqrt(((g - c) ** 2).sum(0))  # inside > 0
+    verts, tris = mesh_lib.marching_tets(d, 0.0)
+    vn = mesh_lib.vertex_normals(verts, tris)
+    radial = verts - c
+    radial /= np.linalg.norm(radial, axis=-1, keepdims=True)
+    cos = np.sum(vn * radial, axis=-1)
+    assert np.mean(cos) > 0.97          # overwhelmingly outward
+    assert np.all(np.abs(np.linalg.norm(vn, axis=-1) - 1.0) < 1e-5)
+
+
+def test_vertex_tangents_orthogonal():
+    import numpy as np
+    from open_diffusiongs_tpu.ops import mesh as mesh_lib
+    res = 20
+    g = np.mgrid[0:res, 0:res, 0:res].astype(np.float32)
+    c = (res - 1) / 2.0
+    d = 6.0 - np.sqrt(((g - c) ** 2).sum(0))
+    verts, tris = mesh_lib.marching_tets(d, 0.0)
+    uvs = mesh_lib.spherical_uvs(verts)
+    vn = mesh_lib.vertex_normals(verts, tris)
+    vt = mesh_lib.vertex_tangents(verts, tris, uvs, vn)
+    dot = np.abs(np.sum(vt * vn, axis=-1))
+    assert np.max(dot) < 1e-4           # tangent _|_ normal
+    assert np.all(np.abs(np.linalg.norm(vt, axis=-1) - 1.0) < 1e-4)
+    assert uvs.min() >= 0.0 and uvs.max() <= 1.0

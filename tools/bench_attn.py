@@ -80,7 +80,7 @@ def main():
     rng = np.random.default_rng(0)
 
     results = {}
-    for name, fn, block, pad_to in [
+    variants = [
         ("splash_512", splash, (512, 512), 512),
         ("splash_1024q_512kv", splash, (1024, 512), 1024),
         ("splash_2048q_512kv", splash, (2048, 512), 2048),
@@ -88,7 +88,17 @@ def main():
         ("flash_512", flash, (512, 512), 512),
         ("flash_1024", flash, (1024, 1024), 1024),
         ("flash_2048q_1024kv", flash, (2048, 1024), 2048),
-    ]:
+    ]
+    if os.environ.get("ATTN_EXTRA"):
+        variants = [
+            ("splash_1024", splash, (1024, 1024), 1024),
+            ("splash_2048q_1024kv", splash, (2048, 1024), 2048),
+            ("splash_1024q_2048kv", splash, (1024, 2048), 2048),
+            ("splash_2048", splash, (2048, 2048), 2048),
+            ("splash_4096q_1024kv", splash, (4096, 1024), 4096),
+            ("splash_512q_1024kv", splash, (512, 1024), 1024),
+        ]
+    for name, fn, block, pad_to in variants:
         lp = -(-args.l // pad_to) * pad_to
         q = jnp.asarray(rng.normal(0, 1, (1, h, lp, d)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(0, 1, (1, h, lp, d)), jnp.bfloat16)
