@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--use_ema", action="store_true",
                         help="use EMA weights for validate/test")
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--gradio", action="store_true",
+                        help="write a single-line progress file to "
+                             "<trial_dir>/progress (reference launch.py "
+                             "--gradio + utils/callbacks.py:144-179)")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. cpu); needed because "
                              "the axon plugin overrides JAX_PLATFORMS")
@@ -166,6 +170,8 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
             except Exception as e:
                 print(f"wandb logging disabled: {e}")
 
+    progress = ProgressFile(os.path.join(cfg.trial_dir, "progress")
+                            if (args.gradio and is_main) else None)
     t0 = time.time()
     drop = {"uid"}
     # host-side step counter: fetching state.step every iteration would
@@ -200,6 +206,8 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
                               f"system.raster.max_per_tile "
                               f"(docs/CAPACITY.md)", flush=True)
                     _append_csv(csv_path, step, m)
+                    progress.write("Generation progress: "
+                                   f"{step / max_steps * 100:.2f}%")
                     if writer:
                         for k, v in m.items():
                             writer.scalar(f"train/{k}", v, step)
@@ -240,6 +248,10 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
     # loads) but keeps its artifacts separate
     suffix = "-test" if getattr(args, "test", False) else ""
     out_dir = os.path.join(cfg.trial_dir, "save", f"it{step}{suffix}")
+    if getattr(args, "gradio", False) and is_main:
+        ProgressFile(os.path.join(cfg.trial_dir, "progress")).write(
+            "Rendering video ..." if suffix else
+            "Rendering validation image ...")
     sample_jit = None
     # multi-host: each process owns a round-robin shard of the eval set and
     # writes artifacts only for its scenes (reference: DistributedSampler +
@@ -306,6 +318,26 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
             json.dump(summary, f, indent=2)
         print(f"val PSNR {summary['psnr']:.3f} dB over "
               f"{summary['num_views']} views", flush=True)
+
+
+class ProgressFile:
+    """Single-line overwrite progress reporter (the reference's gradio
+    ProgressCallback, utils/callbacks.py:144-179): an external UI polls the
+    file for 'Generation progress: NN.NN%'-style lines."""
+
+    def __init__(self, path):
+        self.path = path
+        self._fh = None
+
+    def write(self, msg: str):
+        if self.path is None:
+            return
+        if self._fh is None:
+            self._fh = open(self.path, "w")
+        self._fh.seek(0)
+        self._fh.truncate()
+        self._fh.write(msg)
+        self._fh.flush()
 
 
 def _snapshot_code(trial_dir: str):

@@ -158,3 +158,63 @@ def test_breadth_savers(tmp_path):
     p5 = S.save_xyz_points(str(tmp_path / "pts.ply"), pts, normals=pts)
     head = open(p5).read()
     assert "element vertex 10" in head and "property float nz" in head
+
+
+def test_auto_orient_and_center_poses():
+    """After 'up' orientation the mean camera up-axis must be +z and the
+    mean origin must be at the world origin (cam_utils.py:515-624)."""
+    from open_diffusiongs_tpu.utils.pose_interp import (
+        auto_orient_and_center_poses, rotation_matrix_between)
+    rng = np.random.default_rng(0)
+    # cameras on a tilted ring looking inward with a consistent tilted up
+    tilt = rotation_matrix_between(np.array([0.0, 0.0, 1.0]),
+                                   np.array([0.3, 0.2, 0.93]))
+    poses = []
+    for a in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+        eye = tilt @ (2.0 * np.array([np.cos(a), np.sin(a), 0.4]))
+        fwd = -eye / np.linalg.norm(eye)
+        up0 = tilt @ np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up0); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = right, up, -fwd
+        c2w[:3, 3] = eye + rng.normal(0, 0.01, 3)
+        poses.append(c2w)
+    poses = np.stack(poses)
+    for method in ("up", "vertical", "pca"):
+        oriented, transform = auto_orient_and_center_poses(poses, method)
+        assert oriented.shape == (8, 3, 4) and transform.shape == (3, 4)
+        np.testing.assert_allclose(oriented[:, :3, 3].mean(0), 0.0,
+                                   atol=0.05)
+        if method in ("up", "vertical"):
+            mean_up = oriented[:, :3, 1].mean(0)
+            mean_up /= np.linalg.norm(mean_up)
+            assert mean_up[2] > 0.99
+    # focus centering puts the look-at target at the origin
+    oriented, _ = auto_orient_and_center_poses(poses, "up", "focus")
+    origins = oriented[:, :3, 3]
+    look = -oriented[:, :3, 2]
+    # rays from each camera should pass near the origin
+    t = -np.sum(origins * look, -1) / np.sum(look * look, -1)
+    closest = origins + t[:, None] * look
+    assert np.linalg.norm(closest, axis=-1).max() < 0.1
+
+
+def test_html_and_viewer_outputs(tmp_path):
+    from open_diffusiongs_tpu.utils.visualizers import (
+        save_html, save_viewer_html, to_image_embed_tag, to_single_row_table)
+    img = np.zeros((8, 8, 3), np.uint8)
+    tag = to_image_embed_tag(img)
+    assert tag.startswith('<img src="data:image/png;base64,')
+    page = save_html(str(tmp_path / "t.html"),
+                     to_single_row_table("cap", tag))
+    html = open(page).read()
+    assert "cap" in html and "base64" in html
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    p = save_viewer_html(str(tmp_path / "mesh.html"), verts, faces)
+    html = open(p).read()
+    assert "webgl" in html and "TRIANGLES" in html and "<canvas" in html
+    p2 = save_viewer_html(str(tmp_path / "pts.html"), verts)
+    assert "points" in open(p2).read()
