@@ -17,7 +17,9 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
 #include <cmath>
+#include <functional>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -790,6 +792,352 @@ int mesh_clean(const float* verts, int64_t n_verts,
   if ((!*out_verts && !nv.empty()) || (!*out_tris && !nt.empty())) return 1;
   std::memcpy(*out_verts, nv.data(), nv.size() * sizeof(float));
   std::memcpy(*out_tris, nt.data(), nt.size() * sizeof(int32_t));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Non-manifold repair — counterpart of pymeshlab
+//   meshing_repair_non_manifold_edges(method=0  -> remove extra faces) and
+//   meshing_repair_non_manifold_vertices(vertdispratio=0 -> split vertex)
+// (utils/mesh_utils.py:127-130).
+// ---------------------------------------------------------------------------
+
+int mesh_repair_nonmanifold(const float* verts, int64_t n_verts,
+                            const int32_t* tris, int64_t n_tris,
+                            float** out_verts, int64_t* out_n_verts,
+                            int32_t** out_tris, int64_t* out_n_tris) {
+  auto ekey = [](int32_t a, int32_t b) -> uint64_t {
+    if (a > b) std::swap(a, b);
+    return (static_cast<uint64_t>(a) << 32) | static_cast<uint64_t>(b);
+  };
+  // 1. edges used by > 2 faces: keep the 2 largest-area faces per edge
+  std::unordered_map<uint64_t, std::vector<int32_t>> edge_faces;
+  for (int64_t t = 0; t < n_tris; t++) {
+    const int32_t* f = &tris[3 * t];
+    edge_faces[ekey(f[0], f[1])].push_back((int32_t)t);
+    edge_faces[ekey(f[1], f[2])].push_back((int32_t)t);
+    edge_faces[ekey(f[2], f[0])].push_back((int32_t)t);
+  }
+  auto face_area = [&](int64_t t) -> double {
+    const int32_t* f = &tris[3 * t];
+    double e1[3], e2[3];
+    for (int c = 0; c < 3; c++) {
+      e1[c] = double(verts[3 * f[1] + c]) - double(verts[3 * f[0] + c]);
+      e2[c] = double(verts[3 * f[2] + c]) - double(verts[3 * f[0] + c]);
+    }
+    double cx = e1[1] * e2[2] - e1[2] * e2[1];
+    double cy = e1[2] * e2[0] - e1[0] * e2[2];
+    double cz = e1[0] * e2[1] - e1[1] * e2[0];
+    return cx * cx + cy * cy + cz * cz;
+  };
+  std::vector<char> drop(n_tris, 0);
+  for (auto& kv : edge_faces) {
+    auto& fl = kv.second;
+    if (fl.size() <= 2) continue;
+    std::sort(fl.begin(), fl.end(), [&](int32_t a, int32_t b) {
+      return face_area(a) > face_area(b);
+    });
+    for (size_t i = 2; i < fl.size(); i++) drop[fl[i]] = 1;
+  }
+  std::vector<int32_t> kept;
+  kept.reserve(n_tris * 3);
+  for (int64_t t = 0; t < n_tris; t++)
+    if (!drop[t])
+      for (int i = 0; i < 3; i++) kept.push_back(tris[3 * t + i]);
+  int64_t nk = (int64_t)(kept.size() / 3);
+
+  // 2. non-manifold vertices: incident faces that do not form one
+  //    edge-connected fan get the vertex duplicated per extra fan
+  std::unordered_map<int32_t, std::vector<int32_t>> vert_faces;
+  for (int64_t t = 0; t < nk; t++)
+    for (int i = 0; i < 3; i++) vert_faces[kept[3 * t + i]].push_back((int32_t)t);
+  std::vector<float> nv(verts, verts + 3 * n_verts);
+  for (auto& kv : vert_faces) {
+    int32_t v = kv.first;
+    auto& faces = kv.second;
+    if (faces.size() < 2) continue;
+    // union-find over incident faces sharing an edge through v
+    std::unordered_map<uint64_t, int32_t> opp_edge_first;
+    std::vector<int32_t> parent(faces.size());
+    for (size_t i = 0; i < parent.size(); i++) parent[i] = (int32_t)i;
+    std::function<int32_t(int32_t)> find = [&](int32_t a) -> int32_t {
+      while (parent[a] != a) { parent[a] = parent[parent[a]]; a = parent[a]; }
+      return a;
+    };
+    std::unordered_map<int32_t, std::vector<int32_t>> nbr_to_locals;
+    for (size_t i = 0; i < faces.size(); i++) {
+      const int32_t* f = &kept[3 * faces[i]];
+      for (int c = 0; c < 3; c++)
+        if (f[c] != v) nbr_to_locals[f[c]].push_back((int32_t)i);
+    }
+    for (auto& nb : nbr_to_locals) {
+      for (size_t i = 1; i < nb.second.size(); i++) {
+        int32_t a = find(nb.second[0]), b = find(nb.second[i]);
+        if (a != b) parent[b] = a;
+      }
+    }
+    std::unordered_map<int32_t, int32_t> fan_vertex;  // fan root -> vertex id
+    for (size_t i = 0; i < faces.size(); i++) {
+      int32_t root = find((int32_t)i);
+      auto it = fan_vertex.find(root);
+      int32_t vid;
+      if (it == fan_vertex.end()) {
+        vid = fan_vertex.empty() ? v : (int32_t)(nv.size() / 3);
+        if (vid != v) {  // duplicate the vertex for this extra fan
+          nv.push_back(nv[3 * v]);
+          nv.push_back(nv[3 * v + 1]);
+          nv.push_back(nv[3 * v + 2]);
+        }
+        fan_vertex.emplace(root, vid);
+      } else {
+        vid = it->second;
+      }
+      if (vid != v) {
+        int32_t* f = &kept[3 * faces[i]];
+        for (int c = 0; c < 3; c++)
+          if (f[c] == v) f[c] = vid;
+      }
+    }
+  }
+
+  *out_n_verts = (int64_t)(nv.size() / 3);
+  *out_n_tris = nk;
+  *out_verts = (float*)malloc(nv.size() * sizeof(float));
+  *out_tris = (int32_t*)malloc(kept.size() * sizeof(int32_t));
+  if ((!*out_verts && !nv.empty()) || (!*out_tris && !kept.empty())) return 1;
+  std::memcpy(*out_verts, nv.data(), nv.size() * sizeof(float));
+  std::memcpy(*out_tris, kept.data(), kept.size() * sizeof(int32_t));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Isotropic explicit remeshing — light Botsch–Kobbelt counterpart of
+// pymeshlab meshing_isotropic_explicit_remeshing (utils/mesh_utils.py:134-136):
+// per iteration, split edges longer than 4/3 L, collapse edges shorter than
+// 4/5 L (with duplicate-face guards), then tangential Laplacian relaxation.
+// Edge flips are omitted (valence optimization only affects quality, not
+// correctness); degenerate faces are dropped at the end.
+// ---------------------------------------------------------------------------
+
+int mesh_remesh_isotropic(const float* verts_in, int64_t n_verts_in,
+                          const int32_t* tris_in, int64_t n_tris_in,
+                          float target_len, int iterations,
+                          float** out_verts, int64_t* out_n_verts,
+                          int32_t** out_tris, int64_t* out_n_tris) {
+  std::vector<double> V(verts_in, verts_in + 3 * n_verts_in);
+  std::vector<int32_t> F(tris_in, tris_in + 3 * n_tris_in);
+  const double hi = 4.0 / 3.0 * target_len, lo = 4.0 / 5.0 * target_len;
+  auto ekey = [](int32_t a, int32_t b) -> uint64_t {
+    if (a > b) std::swap(a, b);
+    return (static_cast<uint64_t>(a) << 32) | static_cast<uint64_t>(b);
+  };
+  auto elen2 = [&](int32_t a, int32_t b) {
+    double d2 = 0;
+    for (int c = 0; c < 3; c++) {
+      double d = V[3 * a + c] - V[3 * b + c];
+      d2 += d * d;
+    }
+    return d2;
+  };
+
+  for (int it = 0; it < iterations; it++) {
+    // --- 1. split long edges.  The split decision is PER EDGE (shared
+    // midpoint map), never per face — independent per-face choices create
+    // T-vertices where neighbors disagree, breaking manifoldness.  Each
+    // face is retriangulated by how many of its edges were split; repeat
+    // until no over-length edge remains (bounded rounds).
+    std::vector<int32_t> NF;
+    for (int round = 0; round < 4; round++) {
+      double h2 = hi * hi;
+      std::unordered_map<uint64_t, int32_t> mid;
+      for (size_t t = 0; t < F.size(); t += 3) {
+        for (int e = 0; e < 3; e++) {
+          int32_t a = F[t + e], b = F[t + (e + 1) % 3];
+          uint64_t k = ekey(a, b);
+          if (elen2(a, b) > h2 && !mid.count(k)) {
+            int32_t vi = (int32_t)(V.size() / 3);
+            for (int c = 0; c < 3; c++)
+              V.push_back(0.5 * (V[3 * a + c] + V[3 * b + c]));
+            mid.emplace(k, vi);
+          }
+        }
+      }
+      if (mid.empty()) break;
+      NF.clear();
+      NF.reserve(F.size() * 2);
+      auto midof = [&](int32_t a, int32_t b) -> int32_t {
+        auto itm = mid.find(ekey(a, b));
+        return itm == mid.end() ? -1 : itm->second;
+      };
+      auto push = [&](int32_t a, int32_t b, int32_t c) {
+        NF.push_back(a); NF.push_back(b); NF.push_back(c);
+      };
+      for (size_t t = 0; t < F.size(); t += 3) {
+        int32_t a = F[t], b = F[t + 1], c = F[t + 2];
+        int32_t m_ab = midof(a, b), m_bc = midof(b, c), m_ca = midof(c, a);
+        int n_split = (m_ab >= 0) + (m_bc >= 0) + (m_ca >= 0);
+        if (n_split == 0) {
+          push(a, b, c);
+        } else if (n_split == 3) {
+          push(a, m_ab, m_ca); push(m_ab, b, m_bc);
+          push(m_ca, m_bc, c); push(m_ab, m_bc, m_ca);
+        } else if (n_split == 1) {
+          // rotate so the split edge is (a, b)
+          if (m_bc >= 0) { int32_t x = a; a = b; b = c; c = x; m_ab = m_bc; }
+          else if (m_ca >= 0) { int32_t x = c; c = b; b = a; a = x; m_ab = m_ca; }
+          push(a, m_ab, c); push(m_ab, b, c);
+        } else {  // 2 split edges: rotate so they are (a,b) and (b,c)
+          if (m_ab < 0) {        // split: bc, ca -> rotate left
+            int32_t x = a; a = b; b = c; c = x;
+            m_ab = m_bc; m_bc = m_ca;
+          } else if (m_bc < 0) { // split: ab, ca -> rotate right
+            int32_t x = c; c = b; b = a; a = x;
+            m_bc = m_ab; m_ab = m_ca;
+          }
+          push(m_ab, b, m_bc); push(a, m_ab, m_bc); push(a, m_bc, c);
+        }
+      }
+      F.swap(NF);
+    }
+
+    // --- 2. collapse short edges (to midpoint); one pass, conflict-free.
+    // Link condition (Dey et al.): collapse (a, b) only if N(a) and N(b)
+    // share exactly the 2 opposite vertices of the shared faces — anything
+    // else pinches the surface into fins / boundary edges.
+    int64_t nv = (int64_t)(V.size() / 3);
+    std::vector<std::vector<int32_t>> nbrs(nv);
+    for (size_t t = 0; t < F.size(); t += 3) {
+      for (int e = 0; e < 3; e++) {
+        int32_t a = F[t + e], b = F[t + (e + 1) % 3];
+        nbrs[a].push_back(b);
+        nbrs[b].push_back(a);
+      }
+    }
+    for (auto& nl : nbrs) {
+      std::sort(nl.begin(), nl.end());
+      nl.erase(std::unique(nl.begin(), nl.end()), nl.end());
+    }
+    auto common_nbrs = [&](int32_t a, int32_t b) -> int {
+      const auto& na = nbrs[a];
+      const auto& nb = nbrs[b];
+      int cnt = 0;
+      size_t i = 0, j = 0;
+      while (i < na.size() && j < nb.size()) {
+        if (na[i] < nb[j]) i++;
+        else if (na[i] > nb[j]) j++;
+        else { cnt++; i++; j++; }
+      }
+      return cnt;
+    };
+    std::vector<int32_t> remap(nv);
+    for (int64_t i = 0; i < nv; i++) remap[i] = (int32_t)i;
+    std::vector<char> touched(nv, 0);
+    double lo2 = lo * lo;
+    for (size_t t = 0; t < F.size(); t += 3) {
+      for (int e = 0; e < 3; e++) {
+        int32_t a = F[t + e], b = F[t + (e + 1) % 3];
+        a = remap[a]; b = remap[b];
+        if (a == b || touched[a] || touched[b]) continue;
+        if (elen2(a, b) >= lo2) continue;
+        if (common_nbrs(a, b) != 2) continue;
+        for (int c = 0; c < 3; c++)
+          V[3 * a + c] = 0.5 * (V[3 * a + c] + V[3 * b + c]);
+        remap[b] = a;
+        // freeze the whole 1-ring: the link condition was computed on the
+        // pre-pass topology, so any collapse touching these vertices in
+        // the same pass could pinch the surface
+        touched[a] = touched[b] = 1;
+        for (int32_t n : nbrs[a]) touched[n] = 1;
+        for (int32_t n : nbrs[b]) touched[n] = 1;
+      }
+    }
+    // apply remap (path-compress), drop degenerate/duplicate faces
+    for (int64_t i = 0; i < nv; i++) {
+      int32_t r = remap[i];
+      while (remap[r] != r) r = remap[r];
+      remap[i] = r;
+    }
+    std::unordered_map<uint64_t, bool> seen;
+    NF.clear();
+    for (size_t t = 0; t < F.size(); t += 3) {
+      int32_t a = remap[F[t]], b = remap[F[t + 1]], c = remap[F[t + 2]];
+      if (a == b || b == c || a == c) continue;
+      int32_t s0 = a, s1 = b, s2 = c;
+      if (s0 > s1) std::swap(s0, s1);
+      if (s1 > s2) std::swap(s1, s2);
+      if (s0 > s1) std::swap(s0, s1);
+      uint64_t k = (static_cast<uint64_t>(s0) * 2654435761u) ^
+                   (static_cast<uint64_t>(s1) << 21) ^
+                   (static_cast<uint64_t>(s2) << 42);
+      if (!seen.emplace(k, true).second) continue;
+      NF.push_back(a); NF.push_back(b); NF.push_back(c);
+    }
+    F.swap(NF);
+
+    // --- 3. tangential relaxation: v += 0.5 * tangential(centroid - v)
+    nv = (int64_t)(V.size() / 3);
+    std::vector<double> acc(3 * nv, 0.0), nrm(3 * nv, 0.0);
+    std::vector<int32_t> deg(nv, 0);
+    for (size_t t = 0; t < F.size(); t += 3) {
+      int32_t f0 = F[t], f1 = F[t + 1], f2 = F[t + 2];
+      double e1[3], e2[3], fn[3];
+      for (int c = 0; c < 3; c++) {
+        e1[c] = V[3 * f1 + c] - V[3 * f0 + c];
+        e2[c] = V[3 * f2 + c] - V[3 * f0 + c];
+      }
+      fn[0] = e1[1] * e2[2] - e1[2] * e2[1];
+      fn[1] = e1[2] * e2[0] - e1[0] * e2[2];
+      fn[2] = e1[0] * e2[1] - e1[1] * e2[0];
+      const int32_t fv[3] = {f0, f1, f2};
+      for (int i = 0; i < 3; i++) {
+        int32_t a = fv[i], b = fv[(i + 1) % 3];
+        for (int c = 0; c < 3; c++) {
+          acc[3 * a + c] += V[3 * b + c];
+          acc[3 * b + c] += V[3 * a + c];
+          nrm[3 * a + c] += fn[c];
+        }
+        deg[a]++; deg[b]++;
+      }
+    }
+    for (int64_t i = 0; i < nv; i++) {
+      if (deg[i] == 0) continue;
+      double n2 = nrm[3 * i] * nrm[3 * i] + nrm[3 * i + 1] * nrm[3 * i + 1] +
+                  nrm[3 * i + 2] * nrm[3 * i + 2];
+      double inv_n2 = n2 > 1e-30 ? 1.0 / n2 : 0.0;
+      double d[3], dn = 0.0;
+      for (int c = 0; c < 3; c++) {
+        d[c] = acc[3 * i + c] / deg[i] - V[3 * i + c];
+        dn += d[c] * nrm[3 * i + c];
+      }
+      for (int c = 0; c < 3; c++)
+        V[3 * i + c] += 0.5 * (d[c] - dn * inv_n2 * nrm[3 * i + c]);
+    }
+  }
+
+  // compact unreferenced vertices
+  int64_t nv = (int64_t)(V.size() / 3);
+  std::vector<int32_t> vmap(nv, -1);
+  std::vector<float> outv;
+  std::vector<int32_t> outf;
+  outf.reserve(F.size());
+  for (size_t i = 0; i < F.size(); i++) {
+    int32_t v = F[i];
+    if (vmap[v] < 0) {
+      vmap[v] = (int32_t)(outv.size() / 3);
+      outv.push_back((float)V[3 * v]);
+      outv.push_back((float)V[3 * v + 1]);
+      outv.push_back((float)V[3 * v + 2]);
+    }
+    outf.push_back(vmap[v]);
+  }
+  *out_n_verts = (int64_t)(outv.size() / 3);
+  *out_n_tris = (int64_t)(outf.size() / 3);
+  *out_verts = (float*)malloc(outv.size() * sizeof(float));
+  *out_tris = (int32_t*)malloc(outf.size() * sizeof(int32_t));
+  if ((!*out_verts && !outv.empty()) || (!*out_tris && !outf.empty()))
+    return 1;
+  std::memcpy(*out_verts, outv.data(), outv.size() * sizeof(float));
+  std::memcpy(*out_tris, outf.data(), outf.size() * sizeof(int32_t));
   return 0;
 }
 

@@ -56,6 +56,8 @@ def _lib() -> ctypes.CDLL:
     lib.mesh_decimate_cluster.restype = ctypes.c_int
     lib.mesh_decimate_quadric.restype = ctypes.c_int
     lib.mesh_clean.restype = ctypes.c_int
+    lib.mesh_repair_nonmanifold.restype = ctypes.c_int
+    lib.mesh_remesh_isotropic.restype = ctypes.c_int
     lib.mesh_free.restype = None
     lib.mesh_free.argtypes = [ctypes.c_void_p]
     return lib
@@ -143,15 +145,75 @@ def decimate_mesh(verts: np.ndarray, tris: np.ndarray,
     return _unpack_out(vp, nv, tp, nt)
 
 
+def repair_nonmanifold(verts: np.ndarray, tris: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Non-manifold repair (pymeshlab meshing_repair_non_manifold_edges
+    method=0 + meshing_repair_non_manifold_vertices vertdispratio=0,
+    utils/mesh_utils.py:127-130): edges with > 2 incident faces keep the 2
+    largest-area faces; vertices whose incident faces form several edge-
+    connected fans are split per fan."""
+    if len(tris) == 0:
+        return verts, tris
+    lib = _lib()
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = lib.mesh_repair_nonmanifold(
+        np.ascontiguousarray(verts, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(verts)),
+        np.ascontiguousarray(tris, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(tris)),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    assert rc == 0, "non-manifold repair failed"
+    return _unpack_out(vp, nv, tp, nt)
+
+
+def remesh_isotropic(verts: np.ndarray, tris: np.ndarray,
+                     target_len: float, iterations: int = 3
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Isotropic explicit remeshing toward a target edge length (pymeshlab
+    meshing_isotropic_explicit_remeshing, utils/mesh_utils.py:134-136;
+    iterations=3, targetlen absolute).  Light Botsch-Kobbelt variant:
+    split edges > 4/3 L, collapse edges < 4/5 L, tangential relaxation;
+    edge flips omitted (native/mesher.cpp mesh_remesh_isotropic)."""
+    if len(tris) == 0:
+        return verts, tris
+    lib = _lib()
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = lib.mesh_remesh_isotropic(
+        np.ascontiguousarray(verts, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(verts)),
+        np.ascontiguousarray(tris, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(tris)),
+        ctypes.c_float(target_len), ctypes.c_int(int(iterations)),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
+        ctypes.byref(nt))
+    assert rc == 0, "isotropic remesh failed"
+    return _unpack_out(vp, nv, tp, nt)
+
+
 def clean_mesh(verts: np.ndarray, tris: np.ndarray,
-               v_pct: float = 1.0, min_f: int = 64, min_d: float = 20.0
+               v_pct: float = 1.0, min_f: int = 64, min_d: float = 20.0,
+               repair: bool = False, remesh: bool = False,
+               remesh_size: float = 0.01
                ) -> Tuple[np.ndarray, np.ndarray]:
     """pymeshlab-style cleaning (clean_mesh, utils/mesh_utils.py:88-146):
     merge vertices closer than v_pct% of the bbox diagonal, drop duplicate
     and degenerate faces, remove connected components with < min_f faces or
-    diameter < min_d% of the bbox diagonal, drop unreferenced vertices.
-    (The reference also isotropically remeshes and repairs non-manifold
-    geometry via pymeshlab — not replicated; documented in PARITY.md.)"""
+    diameter < min_d% of the bbox diagonal, drop unreferenced vertices;
+    then optionally `repair` non-manifold edges/vertices and isotropically
+    `remesh` to edge length `remesh_size` (the reference defaults both ON;
+    here they default OFF to keep small test meshes bit-stable — the export
+    path enables them)."""
     if len(tris) == 0:
         return verts, tris
     lib = _lib()
@@ -171,7 +233,12 @@ def clean_mesh(verts: np.ndarray, tris: np.ndarray,
         ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp),
         ctypes.byref(nt))
     assert rc == 0, "mesh clean failed"
-    return _unpack_out(vp, nv, tp, nt)
+    verts, tris = _unpack_out(vp, nv, tp, nt)
+    if repair and len(tris):
+        verts, tris = repair_nonmanifold(verts, tris)
+    if remesh and len(tris):
+        verts, tris = remesh_isotropic(verts, tris, remesh_size)
+    return verts, tris
 
 
 def decimate_mesh_cluster(verts: np.ndarray, tris: np.ndarray,
@@ -285,19 +352,26 @@ def gaussian_density_grid(g: NumpyGaussians, resolution: int = 256,
 
 def extract_mesh(g: NumpyGaussians, density_thresh: float = 0.005,
                  resolution: int = 256, keep_largest: bool = True,
-                 decimate_target: int = 100_000, clean: bool = True
+                 decimate_target: int = 100_000, clean: bool = True,
+                 repair: bool = True, remesh: bool = True,
+                 remesh_size: float = 0.01
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Gaussians -> (verts [V, 3] world-space, tris [F, 3])
     (extract_mesh, gs_core.py:855-869: marching cubes -> clean_mesh ->
     quadric decimation).  keep_largest additionally applies the
     single-component filter (our stricter default; the reference keeps all
-    components above clean_mesh's size thresholds)."""
+    components above clean_mesh's size thresholds).  repair/remesh mirror
+    the reference clean_mesh defaults (both ON, remesh_size=0.01 in the
+    [-1, 1] normalized frame — converted to grid units here since cleaning
+    runs before the rescale)."""
     grid, center, scale = gaussian_density_grid(g, resolution)
     verts, tris = marching_tets(grid, density_thresh)
     if clean and len(tris):
         # reference clean_mesh defaults: v_pct=1, min_f=64, min_d=20
         # (gs_core.py:861 -> utils/mesh_utils.py:88-146)
-        verts, tris = clean_mesh(verts, tris)
+        verts, tris = clean_mesh(
+            verts, tris, repair=repair, remesh=remesh,
+            remesh_size=remesh_size * (resolution - 1) / 2.0)
     if keep_largest and len(tris):
         verts, tris = largest_component(verts, tris)
     if decimate_target and decimate_target > 0:

@@ -198,3 +198,63 @@ def test_vertex_tangents_orthogonal():
     assert np.max(dot) < 1e-4           # tangent _|_ normal
     assert np.all(np.abs(np.linalg.norm(vt, axis=-1) - 1.0) < 1e-4)
     assert uvs.min() >= 0.0 and uvs.max() <= 1.0
+
+
+def test_repair_nonmanifold():
+    """A fin face on an edge (3 faces on one edge) must be removed; a
+    bow-tie vertex (two fans meeting at one vertex) must be split."""
+    import numpy as np
+    from open_diffusiongs_tpu.ops import mesh as mesh_lib
+    # two triangles sharing edge (0,1) + a small third "fin" on it
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0.5, 1, 0], [0.5, -1, 0],
+                      [0.5, 0, 0.1]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 0, 3], [0, 1, 4]], np.int32)
+    v2, t2 = mesh_lib.repair_nonmanifold(verts, tris)
+    assert len(t2) == 2          # the small fin dropped
+    # bow-tie: two triangles sharing ONLY vertex 0
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0],
+                      [-1, 0, 0], [-1, -1, 0]], np.float32)
+    tris = np.array([[0, 1, 2], [0, 3, 4]], np.int32)
+    v2, t2 = mesh_lib.repair_nonmanifold(verts, tris)
+    assert len(t2) == 2
+    assert len(v2) == 6          # vertex 0 duplicated for the second fan
+    # no vertex index shared between the two faces any more
+    assert len(set(t2[0]) & set(t2[1])) == 0
+
+
+def test_remesh_isotropic_sphere():
+    """Remeshing a coarse sphere toward a smaller edge length must keep the
+    surface (radius preserved) while equalizing edge lengths."""
+    import numpy as np
+    from open_diffusiongs_tpu.ops import mesh as mesh_lib
+    res = 20
+    g = np.mgrid[0:res, 0:res, 0:res].astype(np.float32)
+    c = (res - 1) / 2.0
+    d = 6.0 - np.sqrt(((g - c) ** 2).sum(0))
+    verts, tris = mesh_lib.marching_tets(d, 0.0)
+    def edge_lengths(v, t):
+        e = np.concatenate([v[t[:, 1]] - v[t[:, 0]],
+                            v[t[:, 2]] - v[t[:, 1]],
+                            v[t[:, 0]] - v[t[:, 2]]])
+        return np.linalg.norm(e, axis=-1)
+
+    target = 0.6
+    v2, t2 = mesh_lib.remesh_isotropic(verts, tris, target_len=target,
+                                       iterations=3)
+    r = np.linalg.norm(v2 - c, axis=-1)
+    assert abs(float(r.mean()) - 6.0) < 0.35   # surface preserved
+    el0, el = edge_lengths(verts, tris), edge_lengths(v2, t2)
+    # edge lengths regularized toward the target band [4/5 L, 4/3 L]
+    in_band0 = np.mean((el0 > 0.8 * target) & (el0 < 4 / 3 * target))
+    in_band = np.mean((el > 0.8 * target) & (el < 4 / 3 * target))
+    assert in_band > in_band0 + 0.1
+    assert abs(float(np.median(el)) - target) < 0.3 * target
+    # soft upper bound: the last collapse pass can re-lengthen a few edges
+    assert el.max() < 2.0 * target
+    # still a closed surface: every edge shared by exactly 2 faces
+    from collections import Counter
+    cnt = Counter()
+    for t in t2:
+        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            cnt[(min(a, b), max(a, b))] += 1
+    assert set(cnt.values()) == {2}
