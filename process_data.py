@@ -12,9 +12,10 @@ output layout (process_data.py:31-185):
   {output_dir}/{mode}/full_list.txt
 
 Camera rows are [fx, fy, cx, cy (normalized), 2 unused, 12 w2c entries]
-(process_data.py:97-106).  torch (CPU) is used only here, as an optional
-preprocessing dependency; PIL decodes the JPEG bytes (no cv2 in this image
-— pixel parity: both are libjpeg decodes).
+(process_data.py:97-106).  Loading uses torch when available, else the
+bundled pure-Python torch.save reader (utils/torch_load.py) — the
+pipeline runs in a torch-free image.  PIL decodes the JPEG bytes (no cv2
+in this image — pixel parity: both are libjpeg decodes).
 """
 
 from __future__ import annotations
@@ -33,8 +34,19 @@ logging.basicConfig(level=logging.INFO,
                     format="%(asctime)s - %(levelname)s - %(message)s")
 
 
+def _load_chunk(file_path: str):
+    """torch.load when torch is present; otherwise the bundled pure-Python
+    reader for the torch.save ZIP format (utils/torch_load.py) — the whole
+    pipeline stays runnable in a torch-free image."""
+    try:
+        import torch
+        return torch.load(file_path, map_location="cpu", weights_only=False)
+    except ImportError:
+        from open_diffusiongs_tpu.utils.torch_load import torch_load
+        return torch_load(file_path)
+
+
 def process_torch_file(file_path: str, output_dir: str) -> bool:
-    import torch
     from PIL import Image
 
     images_dir = os.path.join(output_dir, "images")
@@ -43,8 +55,7 @@ def process_torch_file(file_path: str, output_dir: str) -> bool:
     os.makedirs(meta_dir, exist_ok=True)
 
     try:
-        data = torch.load(file_path, map_location="cpu",
-                          weights_only=False)
+        data = _load_chunk(file_path)
     except Exception as e:
         logging.error(f"Error loading {file_path}: {e}")
         return False

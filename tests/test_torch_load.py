@@ -1,0 +1,214 @@
+"""Tests for the pure-Python torch.save reader (utils/torch_load.py) and
+the torch-free RE10K preprocessing path (process_data.py).
+
+The fixture builds a byte-exact torch ZIP archive by hand: a fake `torch`
+module is injected only so pickle can emit the `torch.FloatStorage` /
+`torch._utils._rebuild_tensor_v2` GLOBAL opcodes the real torch.save
+writes; the reader under test never imports torch.
+"""
+
+import io
+import os
+import pickle
+import sys
+import types
+import zipfile
+
+import numpy as np
+import pytest
+
+
+class _FakeStorage:
+    """Pickles as a persistent id, exactly like a real torch storage."""
+
+    def __init__(self, key, cls_name, array):
+        self.key = key
+        self.cls_name = cls_name
+        self.array = array
+
+
+def _install_fake_torch():
+    torch_mod = types.ModuleType("torch")
+    utils_mod = types.ModuleType("torch._utils")
+
+    def make_cls(name):
+        cls = type(name, (), {})
+        cls.__module__ = "torch"
+        cls.__qualname__ = name
+        return cls
+
+    for n in ("FloatStorage", "ByteStorage", "LongStorage", "HalfStorage",
+              "BoolStorage", "IntStorage", "DoubleStorage"):
+        setattr(torch_mod, n, make_cls(n))
+
+    def _rebuild_tensor_v2(storage, offset, size, stride, requires_grad,
+                           hooks, metadata=None):
+        raise RuntimeError("only for pickling")  # pragma: no cover
+    _rebuild_tensor_v2.__module__ = "torch._utils"
+    _rebuild_tensor_v2.__qualname__ = "_rebuild_tensor_v2"
+    utils_mod._rebuild_tensor_v2 = _rebuild_tensor_v2
+    torch_mod._utils = utils_mod
+    sys.modules["torch"] = torch_mod
+    sys.modules["torch._utils"] = utils_mod
+    return torch_mod, utils_mod
+
+
+class _FakeTensor:
+    """Reduces to _rebuild_tensor_v2(storage, ...) like a real tensor."""
+
+    def __init__(self, storage, shape, stride):
+        self.storage = storage
+        self.shape = shape
+        self.stride = stride
+
+    def __reduce__(self):
+        return (sys.modules["torch._utils"]._rebuild_tensor_v2,
+                (self.storage, 0, tuple(self.shape), tuple(self.stride),
+                 False, {}))
+
+
+class _Pickler(pickle.Pickler):
+
+    def persistent_id(self, obj):
+        if isinstance(obj, _FakeStorage):
+            cls = getattr(sys.modules["torch"], obj.cls_name)
+            return ("storage", cls, obj.key, "cpu", int(obj.array.size))
+        return None
+
+
+def save_torch_zip(path, obj, storages):
+    """Writes obj in the torch>=1.6 zip layout: archive/data.pkl +
+    archive/data/<key> raw buffers."""
+    buf = io.BytesIO()
+    _Pickler(buf, protocol=2).dump(obj)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/version", "3\n")
+        for st in storages:
+            zf.writestr(f"archive/data/{st.key}", st.array.tobytes())
+
+
+@pytest.fixture()
+def fake_torch():
+    had = {k: sys.modules.get(k) for k in ("torch", "torch._utils")}
+    _install_fake_torch()
+    yield
+    for k, v in had.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:  # pragma: no cover
+            sys.modules[k] = v
+
+
+def _strided_case():
+    base = np.arange(24, dtype=np.float32)
+    st = _FakeStorage("0", "FloatStorage", base)
+    # transposed (non-contiguous) view: shape (3, 4), element stride (1, 6)
+    tens = _FakeTensor(st, (3, 4), (1, 6))
+    expect = base.reshape(4, 6)[:, :3].T.copy()
+    return st, tens, expect
+
+
+def test_roundtrip_tensors(tmp_path, fake_torch):
+    from open_diffusiongs_tpu.utils.torch_load import torch_load
+    rng = np.random.default_rng(0)
+    f32 = rng.normal(size=(2, 3)).astype(np.float32)
+    u8 = rng.integers(0, 255, size=(17,), dtype=np.uint8)
+    i64 = rng.integers(-5, 5, size=(4, 2), dtype=np.int64)
+    st1 = _FakeStorage("0", "FloatStorage", f32.reshape(-1))
+    st2 = _FakeStorage("1", "ByteStorage", u8)
+    st3 = _FakeStorage("2", "LongStorage", i64.reshape(-1))
+    st4, strided, expect = _strided_case()
+    st4.key = "3"
+    obj = {
+        "a": _FakeTensor(st1, f32.shape, (3, 1)),
+        "b": [_FakeTensor(st2, u8.shape, (1,))],
+        "c": {"deep": _FakeTensor(st3, i64.shape, (2, 1))},
+        "strided": strided,
+        "plain": ["str", 3, 4.5, None, True],
+    }
+    p = str(tmp_path / "chunk.torch")
+    save_torch_zip(p, obj, [st1, st2, st3, st4])
+
+    # the reader must work WITHOUT the fake torch present
+    for k in ("torch", "torch._utils"):
+        sys.modules.pop(k, None)
+    out = torch_load(p)
+    np.testing.assert_array_equal(out["a"], f32)
+    np.testing.assert_array_equal(out["b"][0], u8)
+    np.testing.assert_array_equal(out["c"]["deep"], i64)
+    np.testing.assert_array_equal(out["strided"], expect)
+    assert out["plain"] == ["str", 3, 4.5, None, True]
+
+
+def test_legacy_format_raises(tmp_path):
+    from open_diffusiongs_tpu.utils.torch_load import torch_load
+    p = str(tmp_path / "legacy.torch")
+    with open(p, "wb") as f:
+        f.write(pickle.dumps({"x": 1}))
+    with pytest.raises(NotImplementedError):
+        torch_load(p)
+
+
+def test_process_data_torch_free(tmp_path, fake_torch):
+    """End-to-end: a synthetic pixelSplat chunk -> PNGs + metadata JSONs +
+    full_list.txt, with no real torch installed."""
+    from PIL import Image
+
+    import process_data
+
+    # two scenes, two frames each; images are JPEG bytes as uint8 tensors
+    rng = np.random.default_rng(0)
+    storages, scenes = [], []
+    key_counter = [0]
+
+    def add_storage(cls_name, arr):
+        st = _FakeStorage(str(key_counter[0]), cls_name, arr)
+        key_counter[0] += 1
+        storages.append(st)
+        return st
+
+    for s in range(2):
+        images = []
+        for i in range(2):
+            img = (rng.uniform(0, 255, (16, 24, 3))).astype(np.uint8)
+            bio = io.BytesIO()
+            Image.fromarray(img).save(bio, format="JPEG")
+            raw = np.frombuffer(bio.getvalue(), np.uint8)
+            st = add_storage("ByteStorage", raw)
+            images.append(_FakeTensor(st, raw.shape, (1,)))
+        cams = rng.normal(size=(2, 18)).astype(np.float32)
+        cams[:, :4] = [[0.8, 0.9, 0.5, 0.5], [0.7, 0.8, 0.5, 0.5]]
+        cst = add_storage("FloatStorage", cams.reshape(-1))
+        scenes.append({
+            "key": f"scene{s:03d}",
+            "images": images,
+            "cameras": _FakeTensor(cst, cams.shape, (18, 1)),
+        })
+
+    chunk_dir = tmp_path / "in"
+    chunk_dir.mkdir()
+    save_torch_zip(str(chunk_dir / "000000.torch"), scenes, storages)
+
+    for k in ("torch", "torch._utils"):
+        sys.modules.pop(k, None)
+    out_dir = str(tmp_path / "out")
+    ok = process_data.process_torch_file(str(chunk_dir / "000000.torch"),
+                                         out_dir)
+    assert ok
+    for s in range(2):
+        meta = os.path.join(out_dir, "metadata", f"scene{s:03d}.json")
+        assert os.path.exists(meta)
+        import json
+        frames = json.load(open(meta))["frames"]
+        assert len(frames) == 2
+        assert os.path.exists(frames[0]["image_path"])
+        # fx scaled by width (24), fy by height (16)
+        assert abs(frames[0]["fxfycxcy"][0] - 0.8 * 24) < 1e-4
+        assert abs(frames[0]["fxfycxcy"][1] - 0.9 * 16) < 1e-4
+        w2c = np.asarray(frames[0]["w2c"])
+        assert w2c.shape == (4, 4)
+        np.testing.assert_allclose(w2c[3], [0, 0, 0, 1])
+    lst = process_data.generate_full_list(
+        os.path.join(out_dir, "metadata"), out_dir)
+    assert len(open(lst).read().strip().splitlines()) == 2
