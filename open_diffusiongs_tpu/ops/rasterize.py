@@ -541,6 +541,22 @@ def rasterize_single_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
             bins.overflow_tiles, bins.overflow_gaussians, bins.entries)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def mark_visible(xyz: jnp.ndarray, c2w: jnp.ndarray, fxfycxcy: jnp.ndarray,
+                 h: int, w: int) -> jnp.ndarray:
+    """[N] bool frustum-visibility mask per view — the CUDA binding's
+    `GaussianRasterizer.markVisible` (diff_gaussian_rasterization/
+    __init__.py:208-221, in_frustum auxiliary.h): view-space z above the
+    near-cull plane.  xyz [N, 3]; c2w [V, 4, 4]; returns [V, N]."""
+    cams = cam_lib.make_camera(c2w, fxfycxcy, h, w)
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+
+    def one(w2c):
+        depth = w2c[2, 0] * px + w2c[2, 1] * py + w2c[2, 2] * pz + w2c[2, 3]
+        return depth > NEAR_CULL_Z
+    return jax.vmap(one)(cams.w2c)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "cfg", "channels_first"))
 def render(gaussians: Gaussians, c2w: jnp.ndarray, fxfycxcy: jnp.ndarray,
            h: int, w: int, bg_color=(1.0, 1.0, 1.0),

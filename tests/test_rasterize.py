@@ -231,3 +231,29 @@ def test_early_exit_blend_bit_identical(rng):
     for k in ("render", "alpha", "depth"):
         np.testing.assert_array_equal(np.asarray(out_s[k]),
                                       np.asarray(out_w[k]))
+
+
+def test_mark_visible():
+    """markVisible parity: points behind the camera (view z <= 0.2) are
+    culled, points in front survive (auxiliary.h in_frustum)."""
+    c2ws, fxy = orbit_cameras(2, h=H, w=W)
+    pts = jnp.asarray([[0.0, 0.0, 0.0],      # center: visible from both
+                       [100.0, 0.0, 0.0]])   # far outside: behind for some
+    vis = rz.mark_visible(pts, jnp.asarray(c2ws), jnp.asarray(fxy), H, W)
+    assert vis.shape == (2, 2)
+    assert bool(vis[0, 0]) and bool(vis[1, 0])
+    # consistency with the preprocess validity chain: a visible point with
+    # sane scale must be valid in preprocess too
+    from open_diffusiongs_tpu.ops import camera as cam_lib
+    from open_diffusiongs_tpu.ops import gs_math
+    g = random_gaussians(np.random.default_rng(0), 1, 64)
+    act1 = Gaussians(*(jnp.asarray(x)[0] for x in g)).activate()
+    cov3d = gs_math.build_cov3d(act1.scaling, act1.rotation)
+    cam = jax.tree.map(lambda x: x[0],
+                       cam_lib.make_camera(jnp.asarray(c2ws),
+                                           jnp.asarray(fxy), H, W))
+    pre = rz.preprocess_view(act1, cov3d, cam, H, W, 0)
+    vis0 = rz.mark_visible(act1.xyz, jnp.asarray(c2ws), jnp.asarray(fxy),
+                           H, W)[0]
+    # every preprocess-valid gaussian must be frustum-visible
+    assert bool(jnp.all(jnp.where(pre.valid, vis0, True)))
