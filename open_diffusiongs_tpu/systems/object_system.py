@@ -208,8 +208,9 @@ class ObjectSystem:
         rfxy = fxfycxcy[:, skip_cond_render:]
         # inference never differentiates through the render: use the
         # early-exit blend (bit-identical, skips saturated depth chunks)
+        # and drop the remat wrapper (pure overhead without a backward)
         rcfg = (self.cfg.raster if training
-                else self.cfg.raster._replace(early_exit=True))
+                else self.cfg.raster._replace(early_exit=True, remat=False))
 
         def model_fn(images, t):
             g, pix_xyz = self.model.apply(params, images, ray_o, ray_d, t,

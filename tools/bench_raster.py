@@ -92,6 +92,7 @@ def main():
     ap.add_argument("--big-select", type=int, default=0)
     ap.add_argument("--big-per-tile", type=int, default=0)
     ap.add_argument("--early-exit", action="store_true")
+    ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _orbit_cameras
@@ -104,7 +105,7 @@ def main():
         max_tiles_per_gaussian=args.d, max_per_tile=args.k,
         blend_chunk=args.chunk, split_slots=args.split,
         big_select=args.big_select, big_per_tile=args.big_per_tile,
-        early_exit=args.early_exit)
+        early_exit=args.early_exit, remat=not args.no_remat)
     tiles_x = tiles_y = -(-w // rasterize.TILE)
 
     g = synth_gaussians(n, np.random.default_rng(0))
