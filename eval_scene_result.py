@@ -45,8 +45,14 @@ def main():
 
     from open_diffusiongs_tpu.systems import losses as L
 
-    files = sorted(glob.glob(os.path.join(args.result_dir, "*.npz")))
-    assert files, f"no .npz results in {args.result_dir}"
+    # .npz: dumps from this framework's save_result_for_eval.
+    # .pt: dumps from the REFERENCE scene system (torch.save packages,
+    #      diffusion_gs_system_scene.py:222-229) — read torch-free via
+    #      utils/torch_load.py, so reference results can be re-scored with
+    #      this CLI for apples-to-apples metric comparison.
+    files = sorted(glob.glob(os.path.join(args.result_dir, "*.npz"))
+                   + glob.glob(os.path.join(args.result_dir, "*.pt")))
+    assert files, f"no .npz/.pt results in {args.result_dir}"
     lpips_params = L.lpips_init_params(args.lpips_weights) \
         if args.lpips_weights else None
     if lpips_params is None:
@@ -55,9 +61,13 @@ def main():
     lo = 0 if args.protocol == "reference" else 1
     gts, preds = [], []
     for fp in files:
-        d = np.load(fp)
-        render = d["render_images"]     # [v, 3, h, w] (incl. input view 0)
-        gt = d["image"]                 # [v_in, 3, h, w]
+        if fp.endswith(".pt"):
+            from open_diffusiongs_tpu.utils.torch_load import torch_load
+            d = torch_load(fp)
+        else:
+            d = np.load(fp)
+        render = np.asarray(d["render_images"])  # [v, 3, h, w] (incl. view 0)
+        gt = np.asarray(d["image"])              # [v_in, 3, h, w]
         v = min(render.shape[0], gt.shape[0])
         # reference protocol: ALL views incl. the conditioning view 0
         # (reference :22-37); strict: novel views only

@@ -212,3 +212,39 @@ def test_process_data_torch_free(tmp_path, fake_torch):
     lst = process_data.generate_full_list(
         os.path.join(out_dir, "metadata"), out_dir)
     assert len(open(lst).read().strip().splitlines()) == 2
+
+
+def test_eval_cli_reads_reference_pt_dumps(tmp_path, fake_torch):
+    """eval_scene_result.py must score reference-style torch.save eval
+    packages ({'render_images', 'image'} .pt files) without torch."""
+    import json
+    import subprocess
+
+    rng = np.random.default_rng(0)
+    storages = []
+    render = rng.uniform(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    gt = np.clip(render + rng.normal(0, 0.05, render.shape), 0, 1) \
+        .astype(np.float32)
+    st_r = _FakeStorage("0", "FloatStorage", render.reshape(-1))
+    st_g = _FakeStorage("1", "FloatStorage", gt.reshape(-1))
+
+    def strides(a):
+        return tuple(s // a.itemsize for s in a.strides)
+
+    pkg = {"render_images": _FakeTensor(st_r, render.shape, strides(render)),
+           "image": _FakeTensor(st_g, gt.shape, strides(gt))}
+    d = tmp_path / "save"
+    d.mkdir()
+    save_torch_zip(str(d / "scene0.pt"), pkg, [st_r, st_g])
+
+    for k in ("torch", "torch._utils"):
+        sys.modules.pop(k, None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "eval_scene_result.py", "--result_dir", str(d),
+         "--platform", "cpu"], cwd=repo, capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    result = json.load(open(d / "eval_result.json"))
+    assert result["num_scenes"] == 1 and result["num_views"] == 2
+    assert 10 < result["psnr"] < 50
