@@ -248,3 +248,41 @@ def test_eval_cli_reads_reference_pt_dumps(tmp_path, fake_torch):
     result = json.load(open(d / "eval_result.json"))
     assert result["num_scenes"] == 1 and result["num_views"] == 2
     assert 10 < result["psnr"] < 50
+
+
+def test_convert_ckpt_cli_torch_free(tmp_path, fake_torch):
+    """tools/convert_reference_ckpt.py must convert a torch.save .ckpt
+    (Lightning layout: {'state_dict': {...}}) without torch installed."""
+    import subprocess
+
+    rng = np.random.default_rng(0)
+    d = 8
+    names_shapes = {
+        "shape_model.t_embedder.mlp.0.weight": (d, 256),
+        "shape_model.t_embedder.mlp.0.bias": (d,),
+        "shape_model.gaussians_pos_embedding": (2, d),
+    }
+    storages, sd = [], {}
+    for i, (name, shape) in enumerate(names_shapes.items()):
+        arr = rng.normal(size=shape).astype(np.float32)
+        st = _FakeStorage(str(i), "FloatStorage", arr.reshape(-1))
+        storages.append(st)
+        stride = tuple(int(s) // arr.itemsize for s in arr.strides)
+        sd[name] = _FakeTensor(st, shape, stride)
+    ckpt_path = str(tmp_path / "model.ckpt")
+    save_torch_zip(ckpt_path, {"state_dict": sd, "global_step": 1000},
+                   storages)
+
+    for k in ("torch", "torch._utils"):
+        sys.modules.pop(k, None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "w.npz")
+    r = subprocess.run(
+        [sys.executable, "tools/convert_reference_ckpt.py",
+         "--ckpt", ckpt_path, "--out", out], cwd=repo,
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = dict(np.load(out))
+    # kernel transposed torch [out, in] -> flax [in, out]
+    key = [k for k in data if "mlp_0" in k and "kernel" in k]
+    assert key and data[key[0]].shape == (256, d)

@@ -135,9 +135,14 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--prefix", default="shape_model.")
     args = p.parse_args()
-    import torch
-
-    ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    try:
+        import torch
+        ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    except ImportError:
+        # torch-free: published .ckpt files are torch.save ZIP archives —
+        # the bundled reader handles them (utils/torch_load.py)
+        from open_diffusiongs_tpu.utils.torch_load import torch_load
+        ckpt = torch_load(args.ckpt)
     sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     sd = strip_prefix(sd, args.prefix)
