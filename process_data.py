@@ -41,7 +41,10 @@ def _load_chunk(file_path: str):
     try:
         import torch
         return torch.load(file_path, map_location="cpu", weights_only=False)
-    except ImportError:
+    except Exception:
+        # torch absent, or its import/load machinery unusable in this
+        # process (e.g. partial re-import) — the bundled reader handles
+        # the standard torch.save ZIP layout either way.
         from open_diffusiongs_tpu.utils.torch_load import torch_load
         return torch_load(file_path)
 

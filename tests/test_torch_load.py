@@ -190,8 +190,12 @@ def test_process_data_torch_free(tmp_path, fake_torch):
     chunk_dir.mkdir()
     save_torch_zip(str(chunk_dir / "000000.torch"), scenes, storages)
 
+    # Force the torch-free path even though the test image ships torch:
+    # None in sys.modules makes `import torch` raise ImportError instead of
+    # re-importing real torch (whose re-init in a process that already
+    # loaded it fails with TORCH_LIBRARY re-registration errors).
     for k in ("torch", "torch._utils"):
-        sys.modules.pop(k, None)
+        sys.modules[k] = None
     out_dir = str(tmp_path / "out")
     ok = process_data.process_torch_file(str(chunk_dir / "000000.torch"),
                                          out_dir)
