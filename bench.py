@@ -125,6 +125,32 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
     return dt * 1e3, 1.0 / dt
 
 
+def bench_attention(l=16386, heads=16, dim=64, iters=20):
+    """DiT attention layer at the 512^2 token count (VERDICT r1 item 7:
+    measured ms/layer and MFU belong in the bench).  MFU is against the
+    197 TF/s bf16 peak; d=64 heads cap the MXU at ~50% of that."""
+    from open_diffusiongs_tpu.models.transformer import fused_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, l, heads, dim)), jnp.bfloat16)
+               for _ in range(3))
+
+    @jax.jit
+    def run():
+        def body(carry, _):
+            o = fused_attention(q + carry.astype(q.dtype), k, v)
+            return 0.0 * jnp.sum(o.astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run())
+    t0 = time.time()
+    assert float(run()) == 0.0
+    dt = (time.time() - t0) / iters
+    mfu = 100 * (4.0 * l * l * heads * dim) / dt / 197e12
+    return dt * 1e3, mfu
+
+
 def main():
     h = w = int(os.environ.get("BENCH_RES", "256"))
     steps, n_views = 30, 4
@@ -153,6 +179,14 @@ def main():
                 steps * 3 * (n_views * 512 * 512) / best512 / 1e6, 1)
         except Exception as ex:  # noqa: BLE001 — keep the primary metric
             out["error_512"] = str(ex)[:200]
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_ATTN"):
+        try:
+            ms, mfu = bench_attention()
+            out["attn_ms_per_layer_512"] = round(ms, 2)
+            out["attn_mfu_pct_512"] = round(mfu, 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_attn"] = str(ex)[:200]
 
     if h == 256 and not os.environ.get("BENCH_SKIP_TRAIN"):
         try:

@@ -77,7 +77,7 @@ class DGSDenoiser(nn.Module):
     range_setting_far: float = 500.0
     dtype: Dtype = jnp.float32          # compute dtype (bf16 on TPU)
     remat: bool = True
-    attn_impl: str = "auto"             # 'splash' (TPU Pallas) | 'xla'
+    attn_impl: str = "auto"   # 'flash' (TPU Pallas) | 'splash' | 'xla'
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,

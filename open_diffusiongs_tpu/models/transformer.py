@@ -112,11 +112,41 @@ def _splash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
     return jax.vmap(one)(q, k, v)
 
 
+@jax.custom_vjp
+def _flash_fwd_splash_bwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Inference forward: the specialized full-attention kernel
+    (ops/attention.py, ~20% faster than splash at the DiT's 512^2 shape).
+    When differentiated (training), both forward and backward run splash's
+    fused kernels — the vjp closure from jax.vjp is a Partial pytree, so it
+    rides through as the custom_vjp residual and no extra forward is paid."""
+    from ..ops.attention import flash_full_mha
+    return flash_full_mha(q, k, v)
+
+
+def _ffsb_fwd(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    out, vjp_fn = jax.vjp(
+        lambda q_, k_, v_: _splash_attention(q_ * scale, k_, v_), q, k, v)
+    return out, vjp_fn
+
+
+def _ffsb_bwd(vjp_fn, g):
+    return vjp_fn(g)
+
+
+_flash_fwd_splash_bwd.defvjp(_ffsb_fwd, _ffsb_bwd)
+
+
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     impl: str = "auto") -> jnp.ndarray:
-    """q/k/v: [b, l, h, d].  impl: 'auto' | 'splash' | 'xla'."""
+    """q/k/v: [b, l, h, d].  impl: 'auto' | 'flash' | 'splash' | 'xla'."""
     if impl == "auto":
-        impl = "splash" if jax.default_backend() == "tpu" else "xla"
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "flash" and q.shape[-1] > 64:
+        impl = "splash"                  # the flash kernel assumes d <= 64
+    if impl == "flash":
+        return _flash_fwd_splash_bwd(q, k, v)
     if impl == "splash":
         # splash kernel computes q @ k^T without the 1/sqrt(d) scale
         scale = q.shape[-1] ** -0.5

@@ -77,3 +77,32 @@ def test_rays_chw_layout():
     o2, d2 = rays_lib.rays_chw(jnp.asarray(c2ws), jnp.asarray(fxy), 8, 8)
     np.testing.assert_allclose(np.moveaxis(np.asarray(d2), 1, -1), d1, atol=1e-6)
     np.testing.assert_allclose(np.moveaxis(np.asarray(o2), 1, -1), o1, atol=1e-6)
+
+
+def test_fisheye624_roundtrip():
+    """X = unproject(project(X)) for z>0 (cam_utils.py:733-737 contract)."""
+    import jax.numpy as jnp
+
+    from open_diffusiongs_tpu.utils.fisheye import (fisheye624_project,
+                                                    fisheye624_unproject)
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(2, 64, 3))
+    xyz[..., 2] = np.abs(xyz[..., 2]) + 0.5          # z > 0
+    # mild distortion (k/p/s small, realistic fisheye coefficients)
+    params = np.zeros((2, 16))
+    params[:, 0:2] = [350.0, 352.0]                  # fu, fv
+    params[:, 2:4] = [320.0, 240.0]                  # cu, cv
+    params[:, 4:10] = [[0.05, -0.01, 0.002, 0.0, 0.0, 0.0]] * 2
+    params[:, 10:12] = [[1e-3, -5e-4]] * 2           # p0 p1
+    params[:, 12:16] = [[2e-4, -1e-4, 5e-5, 1e-4]] * 2
+    uv = fisheye624_project(jnp.asarray(xyz), jnp.asarray(params))
+    rays = fisheye624_unproject(uv, jnp.asarray(params))
+    dirs = np.asarray(rays)
+    expect = xyz / xyz[..., 2:3]
+    np.testing.assert_allclose(dirs, expect, atol=1e-5)
+
+    # fu == fv 15-parameter variant
+    p15 = np.concatenate([params[:, :1], params[:, 2:]], axis=1)
+    uv15 = fisheye624_project(jnp.asarray(xyz), jnp.asarray(p15))
+    rays15 = fisheye624_unproject(uv15, jnp.asarray(p15))
+    np.testing.assert_allclose(np.asarray(rays15), expect, atol=1e-5)

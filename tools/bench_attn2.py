@@ -1,0 +1,222 @@
+"""Custom full-attention Pallas kernel vs splash at the DiT's 512^2 shape.
+
+Specializations over the stock splash kernel (which is general: masks,
+segment ids, soft caps):
+  * PV matmul in bf16 (splash casts V and the probs to f32 -> multi-pass
+    MXU); f32 accumulation is kept via preferred_element_type.
+  * softmax row-sum folded into the PV matmul by augmenting V with a
+    ones-column: [V | 1 | 0...] is [bkv, 128], and since an n=64 matmul
+    already burns 128 output lanes on the MXU, the upgrade is free.
+  * q pre-scaled by scale*log2(e) outside; the inner loop is exp2(qk - m)
+    (one sub + one exp2 per score element; no per-element mask/segid work).
+  * only the last kv block is masked (the only one containing padding).
+
+Usage: python tools/bench_attn2.py [--l 16386]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PEAK_BF16 = 197e12
+LOG2E = 1.4426950408889634
+NT = (((1,), (1,)), ((), ()))   # contract last dims: A @ B^T
+NN = (((1,), (0,)), ((), ()))
+
+
+def _fwd_kernel(q_ref, k_ref, v1_ref, o_ref, m_scr, acc_scr, *,
+                nkv: int, pv_f32: bool, sub: str = "tile",
+                score_bf16: bool = False):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                    # [bq, 64] bf16 (pre-scaled)
+    k = k_ref[0]                                    # [bkv, 64] bf16
+    sdt = jnp.bfloat16 if score_bf16 else jnp.float32
+    qk = lax.dot_general(q, k, NT, preferred_element_type=sdt)
+
+    # No masking: pad rows carry a zero validity column in v1 (and zero V),
+    # so they contribute nothing to numerator or denominator.  Their scores
+    # can only inflate the running max, which the flash recurrence is exact
+    # under (p and l rescale together).
+
+    m_prev = m_scr[...].astype(sdt)                 # [bq, 128]
+    m_curr = qk.max(axis=-1)[:, None]               # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_curr)            # [bq, 128]
+    if sub == "tile":
+        p = jnp.exp2(qk - jnp.tile(m_next, (1, qk.shape[-1] // 128)))
+    else:
+        p = jnp.exp2(qk - m_next[:, :1])
+    alpha = jnp.exp2(m_prev - m_next)               # [bq, 128]
+    v1 = v1_ref[0]
+    if pv_f32:
+        o_curr = lax.dot_general(p.astype(jnp.float32),
+                                 v1.astype(jnp.float32), NN,
+                                 preferred_element_type=jnp.float32)
+    else:
+        o_curr = lax.dot_general(p.astype(jnp.bfloat16), v1, NN,
+                                 preferred_element_type=jnp.float32)
+    m_scr[...] = m_next.astype(jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha.astype(jnp.float32) + o_curr
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        acc = acc_scr[...]
+        l = jnp.maximum(acc[:, 64:65], 1e-30)       # pad q rows: avoid 0/0
+        o_ref[0] = (acc[:, :64] / l).astype(o_ref.dtype)
+
+
+def mha_full(q, k, v, *, bq=1024, bkv=1024, l_real=None, pv_f32=False,
+             sub="tile", score_bf16=False, interpret=False):
+    """q/k/v: [h, L, 64] with L padded to a multiple of max(bq, bkv).
+
+    q must be PRE-SCALED by head_dim**-0.5 * log2(e).  l_real = number of
+    valid rows (rest is padding).  Returns [h, L, 64] (pad rows garbage).
+    """
+    h, L, d = q.shape
+    assert d == 64 and L % bq == 0 and L % bkv == 0
+    if l_real is None:
+        l_real = L
+    nq, nkv = L // bq, L // bkv
+    valid = (jnp.arange(L) < l_real).astype(v.dtype)[None, :, None]
+    zeros = jnp.zeros((h, L, 128 - d - 1), v.dtype)
+    v1 = jnp.concatenate([v * valid, jnp.broadcast_to(valid, (h, L, 1)),
+                          zeros], axis=-1)           # [h, L, 128]
+
+    kern = functools.partial(_fwd_kernel, nkv=nkv, pv_f32=pv_f32,
+                             sub=sub, score_bf16=score_bf16)
+    grid = (h, nq, nkv)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bkv, d), lambda h, i, j: (h, j, 0)),
+            pl.BlockSpec((1, bkv, 128), lambda h, i, j: (h, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, L, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v1)
+
+
+def loop_timed(make_fn, iters=20):
+    @jax.jit
+    def run():
+        def body(carry, _):
+            out = make_fn(carry)
+            s = jnp.sum(out.astype(jnp.float32))
+            return 0.0 * s, None
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run())
+    t0 = time.time()
+    r = float(run())
+    assert r == r, "NaN"
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--l", type=int, default=16386)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    h, d = args.heads, 64
+    rng = np.random.default_rng(0)
+    scale = d ** -0.5
+
+    if args.check:
+        l, lp = 700, 1024
+        qs = rng.normal(0, 1, (h, lp, d))
+        ks = rng.normal(0, 1, (h, lp, d))
+        vs = rng.normal(0, 1, (h, lp, d))
+        qs[:, l:] = 0; ks[:, l:] = 0; vs[:, l:] = 0
+        q = jnp.asarray(qs, jnp.bfloat16)
+        k = jnp.asarray(ks, jnp.bfloat16)
+        v = jnp.asarray(vs, jnp.bfloat16)
+        out = mha_full(q * (scale * LOG2E), k, v, bq=512, bkv=512,
+                       l_real=l,
+                       interpret=jax.default_backend() != "tpu")[:, :l]
+        ref = jax.nn.dot_product_attention(
+            q[:, :l].transpose(1, 0, 2)[None], k[:, :l].transpose(1, 0, 2)[None],
+            v[:, :l].transpose(1, 0, 2)[None])[0].transpose(1, 0, 2)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+        print("max abs err vs XLA:", err)
+        assert err < 2e-2, err
+        return
+
+    results = {}
+    variants = [
+        ("mha_512", 512, 512, 512, False, "tile", False),
+        ("mha_1024", 1024, 1024, 1024, False, "tile", False),
+        ("mha_1024q_512kv", 1024, 512, 1024, False, "tile", False),
+        ("mha_2048q_512kv", 2048, 512, 2048, False, "tile", False),
+        ("mha_2048q_1024kv", 2048, 1024, 2048, False, "tile", False),
+        ("mha_1024_pvf32", 1024, 1024, 1024, True, "tile", False),
+    ]
+    if os.environ.get("ATTN_V2"):
+        variants = [
+            ("mha_1024_pvf32_bcast", 1024, 1024, 1024, True, "bcast", False),
+            ("mha_1024_bcast", 1024, 1024, 1024, False, "bcast", False),
+            ("mha_512q_2048kv_pvf32", 512, 2048, 2048, True, "tile", False),
+            ("mha_1024q_2048kv_pvf32", 1024, 2048, 2048, True, "tile", False),
+            ("mha_1024_sbf16", 1024, 1024, 1024, False, "tile", True),
+            ("mha_2048_pvf32", 2048, 2048, 2048, True, "tile", False),
+        ]
+    for name, bq, bkv, pad_to, pv_f32, sub, sbf16 in variants:
+        lp = -(-args.l // pad_to) * pad_to
+        q = jnp.asarray(rng.normal(0, 1, (h, lp, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(0, 1, (h, lp, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(0, 1, (h, lp, d)), jnp.bfloat16)
+        flops = 4.0 * lp * lp * h * d
+        try:
+            t = loop_timed(
+                lambda e, q=q, k=k, v=v, bq=bq, bkv=bkv, lp=lp, pv=pv_f32,
+                sub=sub, sbf16=sbf16:
+                mha_full(q + e.astype(q.dtype), k, v, bq=bq, bkv=bkv,
+                         l_real=args.l, pv_f32=pv, sub=sub, score_bf16=sbf16),
+                iters=args.iters)
+        except Exception as ex:  # noqa: BLE001
+            results[name] = f"error: {str(ex)[:120]}"
+            print(name, results[name], flush=True)
+            continue
+        results[name] = {"ms": round(t * 1e3, 2), "L_padded": lp,
+                         "mfu_pct": round(100 * flops / t / PEAK_BF16, 1)}
+        print(name, results[name], flush=True)
+
+    print(json.dumps({"l": args.l, "results": results,
+                      "device": str(jax.devices()[0])}))
+
+
+if __name__ == "__main__":
+    main()
