@@ -127,18 +127,23 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
 
 def bench_attention(l=16386, heads=16, dim=64, iters=20):
     """DiT attention layer at the 512^2 token count (VERDICT r1 item 7:
-    measured ms/layer and MFU belong in the bench).  MFU is against the
-    197 TF/s bf16 peak; d=64 heads cap the MXU at ~50% of that."""
-    from open_diffusiongs_tpu.models.transformer import fused_attention
+    measured ms/layer and MFU belong in the bench) — the packed-layout
+    kernel the DiT actually runs (ops/attention.py).  MFU counts only the
+    l_real tokens against the 197 TF/s bf16 peak; d=64 heads cap the MXU
+    at ~50% of that."""
+    from open_diffusiongs_tpu.ops.attention import (flash_mha_packed,
+                                                    plan_packed)
 
+    lp, blocks = plan_packed(l)
     rng = np.random.default_rng(0)
-    q, k, v = (jnp.asarray(rng.normal(size=(1, l, heads, dim)), jnp.bfloat16)
-               for _ in range(3))
+    q, k, v = (jnp.asarray(rng.normal(size=(1, lp, heads * dim)),
+                           jnp.bfloat16) for _ in range(3))
 
     @jax.jit
     def run():
         def body(carry, _):
-            o = fused_attention(q + carry.astype(q.dtype), k, v)
+            o = flash_mha_packed(q + carry.astype(q.dtype), k, v,
+                                 num_heads=heads, l_real=l, blocks=blocks)
             return 0.0 * jnp.sum(o.astype(jnp.float32)), None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c

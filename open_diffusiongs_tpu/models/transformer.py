@@ -23,6 +23,7 @@ kernels ~ N(0, 0.02), biases zero.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional
 
@@ -154,6 +155,43 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jax.nn.dot_product_attention(q, k, v)
 
 
+def resolve_attn_impl(impl: str) -> str:
+    return ("flash" if jax.default_backend() == "tpu" else "xla") \
+        if impl == "auto" else impl
+
+
+@functools.lru_cache(maxsize=None)
+def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int]):
+    """custom_vjp over the packed-layout flash kernel: primal forward is the
+    packed kernel on [b, Lp, h*d]; the differentiated path runs splash on
+    the unpacked real rows (exact grads; pad-row grads are zero)."""
+    from ..ops.attention import flash_mha_packed
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return flash_mha_packed(q, k, v, num_heads=num_heads, l_real=l_real,
+                                blocks=blocks)
+
+    def ref_fn(q, k, v):
+        b, lp, hd = q.shape
+        dh = hd // num_heads
+        q4 = q[:, :l_real].reshape(b, l_real, num_heads, dh)
+        k4 = k[:, :l_real].reshape(b, l_real, num_heads, dh)
+        v4 = v[:, :l_real].reshape(b, l_real, num_heads, dh)
+        o4 = _splash_attention(q4 * dh ** -0.5, k4, v4)
+        return jnp.pad(o4.reshape(b, l_real, hd),
+                       ((0, 0), (0, lp - l_real), (0, 0)))
+
+    def fwd(q, k, v):
+        return jax.vjp(ref_fn, q, k, v)
+
+    def bwd(vjp_fn, g):
+        return vjp_fn(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 class RMSNorm(nn.Module):
     """RMSNorm with learned scale (utils_transformer.py:14-23)."""
 
@@ -181,6 +219,11 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     qk_norm: bool = False
+    # Set by DiTStack when the token axis is pre-padded around the whole
+    # stack: the number of REAL rows (x.shape[1] is the padded length) and
+    # the packed-kernel block sizes.  Enables the zero-copy packed path.
+    packed_l: Optional[int] = None
+    packed_blocks: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -189,15 +232,26 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * d, use_bias=True, kernel_init=INIT,
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
                        name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, l, self.num_heads, head_dim)
-        k = k.reshape(b, l, self.num_heads, head_dim)
-        v = v.reshape(b, l, self.num_heads, head_dim)
-        if self.qk_norm:
-            q = RMSNorm(head_dim, name="q_norm")(q)
-            k = RMSNorm(head_dim, name="k_norm")(k)
-        o = fused_attention(q, k, v, self.attn_impl)
-        o = o.reshape(b, l, d)
+        impl = resolve_attn_impl(self.attn_impl)
+        if (impl == "flash" and self.packed_l is not None
+                and not self.qk_norm and head_dim <= 64
+                and 128 % head_dim == 0
+                and self.num_heads % (128 // head_dim) == 0):
+            # packed path: q/k/v stay [b, lp, h*d] end to end — no
+            # transposes, no per-layer padding (ops/attention.py)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            o = _make_packed_attn(self.num_heads, self.packed_l,
+                                  tuple(self.packed_blocks))(q, k, v)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, l, self.num_heads, head_dim)
+            k = k.reshape(b, l, self.num_heads, head_dim)
+            v = v.reshape(b, l, self.num_heads, head_dim)
+            if self.qk_norm:
+                q = RMSNorm(head_dim, name="q_norm")(q)
+                k = RMSNorm(head_dim, name="k_norm")(k)
+            o = fused_attention(q, k, v, impl)
+            o = o.reshape(b, l, d)
         return nn.Dense(d, use_bias=True, kernel_init=INIT,
                         bias_init=nn.initializers.zeros, dtype=self.dtype,
                         name="proj")(o)
@@ -238,6 +292,8 @@ class DiTBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     qk_norm: bool = False     # DiTBlock_QK_Norm (utils_transformer.py:590-633)
+    packed_l: Optional[int] = None
+    packed_blocks: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -250,6 +306,7 @@ class DiTBlock(nn.Module):
         x = x + gate_msa[:, None, :] * Attention(
             self.hidden_size, self.num_heads, dtype=self.dtype,
             attn_impl=self.attn_impl, qk_norm=self.qk_norm,
+            packed_l=self.packed_l, packed_blocks=self.packed_blocks,
             name="attn")(attn_in)
         mlp_in = modulate(_norm_noaffine(x), shift_mlp, scale_mlp)
         x = x + gate_mlp[:, None, :] * Mlp(
@@ -271,17 +328,35 @@ class DiTStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        # Pad the token axis ONCE around the whole stack for the packed
+        # flash path: attention then runs with zero per-layer layout work,
+        # at the cost of pad-row flops in the LN/MLP/Dense ops (e.g.
+        # 16386 -> 16896 at 512^2: +3.1%, vs ~15% wrapper overhead saved).
+        l = x.shape[1]
+        packed_l = packed_blocks = None
+        head_dim = self.hidden_size // self.num_heads
+        if (resolve_attn_impl(self.attn_impl) == "flash"
+                and head_dim <= 64 and 128 % head_dim == 0
+                and self.num_heads % (128 // head_dim) == 0):
+            from ..ops.attention import plan_packed
+            lp, packed_blocks = plan_packed(l)
+            packed_l, x = l, jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+
         class _Body(nn.Module):
             hidden_size: int
             num_heads: int
             mlp_ratio: float
             dtype: Dtype
             attn_impl: str
+            packed_l: Optional[int]
+            packed_blocks: Optional[tuple]
 
             @nn.compact
             def __call__(self, carry, _):
                 y = DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
                              dtype=self.dtype, attn_impl=self.attn_impl,
+                             packed_l=self.packed_l,
+                             packed_blocks=self.packed_blocks,
                              name="block")(carry, c)
                 return y, None
 
@@ -294,6 +369,6 @@ class DiTStack(nn.Module):
             split_rngs={"params": True},
             length=self.num_layers,
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
-          self.attn_impl, name="layers")
+          self.attn_impl, packed_l, packed_blocks, name="layers")
         x, _ = scanned(x, None)
-        return x
+        return x if packed_l is None else x[:, :l]

@@ -104,6 +104,144 @@ def pick_blocks(l: int) -> tuple[int, int]:
     return 512, 512
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout path: q/k/v stay in the DiT's natural [b, L, h*d] layout
+# (head-major columns, exactly what the qkv projection emits), the kernel
+# slices each head's 64 columns via the BlockSpec index map.  This removes
+# every wrapper pass over HBM: no [b,l,h,d] transposes, no V|ones concat
+# (the validity column is assembled once per head into a VMEM scratch on the
+# first q-row sweep), no separate q pre-scale (folded into a per-q-block
+# scratch copy).  The caller pads the token axis ONCE around the whole DiT
+# stack instead of per layer.
+# ---------------------------------------------------------------------------
+
+
+def plan_packed(l: int) -> tuple[int, tuple[int, int]]:
+    """(padded length, (bq, bkv)) for a DiT token count l — the caller pads
+    the token axis once around the whole stack (models/transformer.py)."""
+    bq, bkv = pick_packed_blocks(l)
+    lcm = max(bq, bkv) if max(bq, bkv) % min(bq, bkv) == 0 \
+        else bq * bkv // math.gcd(bq, bkv)
+    return -(-l // lcm) * lcm, (bq, bkv)
+
+
+def pick_packed_blocks(l: int) -> tuple[int, int]:
+    """v5e sweep (tools/bench_attn2.py): at the 512^2 length the 512-aligned
+    pad (16896 vs 17408) plus (1536,512) blocks beat (1024,1024); at the
+    256^2 length (1536,768) edges out (512,512) with the same 4608 pad.
+    Small models (tiny test configs, few-view scene sampling) get small
+    blocks so the pad-to-lcm cost stays bounded."""
+    if l >= 8192:
+        return 1536, 512
+    if l > 2048:
+        return 1536, 768
+    return 512, 512
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
+                       v1_scr, *, nkv: int, bkv: int, l_real: int,
+                       masked: bool, scale: float, dh: int, hps: int):
+    """One grid step processes `hps` heads (a 128-column group: Pallas TPU
+    block last-dims must be 128-divisible, so a single 64-wide head slice
+    is not addressable — and the grouping halves grid overhead anyway)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        # pre-scale q once per q-block sweep (scale * log2e, exp2 domain)
+        q_scr[...] = (q_ref[...].astype(jnp.float32)
+                      * scale).astype(q_scr.dtype)
+
+    # [V | valid] per head of the group.  Pad rows (global row >= l_real —
+    # padding can span multiple kv blocks) are zeroed in both V and the
+    # validity columns, so they contribute nothing to numerator or
+    # denominator (the [bkv, 128*hps] build is ~8% of the score-element
+    # VPU work; an lp-resident scratch would not fit VMEM at 512^2).
+    v = v_ref[...]                                  # [bkv, hps*dh]
+    if masked:
+        rows = lax.broadcasted_iota(jnp.int32, (bkv, 1), 0) + j * bkv
+        keep = rows < l_real
+        v = jnp.where(keep, v, 0)
+        valid = jnp.broadcast_to(keep.astype(v.dtype), (bkv, 128 - dh))
+    else:
+        valid = jnp.ones((bkv, 128 - dh), v.dtype)
+    for s in range(hps):
+        v1_scr[:, s * 128: s * 128 + dh] = v[:, s * dh:(s + 1) * dh]
+        v1_scr[:, s * 128 + dh:(s + 1) * 128] = valid
+
+    for s in range(hps):
+        hc = slice(s * dh, (s + 1) * dh)
+        qk = lax.dot_general(q_scr[:, hc], k_ref[:, hc], _NT,
+                             preferred_element_type=jnp.float32)
+        mc = slice(s * 128, (s + 1) * 128)
+        m_prev = m_scr[:, mc]
+        m_curr = qk.max(axis=-1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp2(qk - jnp.tile(m_next, (1, qk.shape[-1] // 128)))
+        alpha = jnp.exp2(m_prev - m_next)
+        o_curr = lax.dot_general(
+            p, v1_scr[:, mc].astype(jnp.float32), _NN,
+            preferred_element_type=jnp.float32)
+        m_scr[:, mc] = m_next
+        acc_scr[:, mc] = acc_scr[:, mc] * alpha + o_curr
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        for s in range(hps):
+            acc = acc_scr[:, s * 128:(s + 1) * 128]
+            l = jnp.maximum(acc[:, dh:dh + 1], 1e-30)
+            o_ref[:, s * dh:(s + 1) * dh] = (acc[:, :dh] / l
+                                             ).astype(o_ref.dtype)
+
+
+def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
+                     blocks: tuple[int, int] | None = None,
+                     interpret: bool = False):
+    """Full MHA on the packed layout.  q/k/v: [b, Lp, h*d_h] with head-major
+    columns (column h*d_h + c is head h, channel c) and Lp already padded to
+    a block multiple; rows >= l_real are padding.  Returns [b, Lp, h*d_h]
+    (pad rows garbage).  Requires d_h <= 64, 128 % d_h == 0, and num_heads
+    divisible by 128//d_h (heads are processed in 128-column groups)."""
+    b, lp, hd = q.shape
+    dh = hd // num_heads
+    hps = 128 // dh
+    assert dh <= 64 and 128 % dh == 0 and num_heads % hps == 0, (dh, num_heads)
+    bq, bkv = blocks or pick_packed_blocks(l_real)
+    assert lp % bq == 0 and lp % bkv == 0, (lp, bq, bkv)
+    nq, nkv = lp // bq, lp // bkv
+    groups = num_heads // hps
+
+    kern = functools.partial(
+        _fwd_kernel_packed, nkv=nkv, bkv=bkv, l_real=l_real,
+        masked=lp > l_real, scale=dh ** -0.5 * LOG2E, dh=dh, hps=hps)
+
+    def run(qi, ki, vi):
+        return pl.pallas_call(
+            kern,
+            grid=(groups, nq, nkv),
+            in_specs=[
+                pl.BlockSpec((bq, 128), lambda g, i, j: (i, g)),
+                pl.BlockSpec((bkv, 128), lambda g, i, j: (j, g)),
+                pl.BlockSpec((bkv, 128), lambda g, i, j: (j, g)),
+            ],
+            out_specs=pl.BlockSpec((bq, 128), lambda g, i, j: (i, g)),
+            out_shape=jax.ShapeDtypeStruct((lp, hd), qi.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128 * hps), jnp.float32),
+                pltpu.VMEM((bq, 128 * hps), jnp.float32),
+                pltpu.VMEM((bq, 128), qi.dtype),
+                pltpu.VMEM((bkv, 128 * hps), vi.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(qi, ki, vi)
+
+    return jax.vmap(run)(q, k, v)
+
+
 def flash_full_mha(q, k, v, *, blocks: tuple[int, int] | None = None,
                    interpret: bool = False):
     """Full (unmasked) multi-head attention.  q/k/v: [b, l, h, d], d <= 64.

@@ -52,3 +52,89 @@ def test_large_logits_stable():
     ref = np.asarray(_ref(q, k, v))
     assert np.isfinite(out).all()
     assert np.abs(out - ref).max() < 2e-2
+
+
+def _run_packed(b, l, lp, h, dh, blocks, seed=0):
+    from open_diffusiongs_tpu.ops.attention import flash_mha_packed
+    rng = np.random.default_rng(seed)
+    q4, k4, v4 = (jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+                  for _ in range(3))
+    ref = np.asarray(_ref(q4, k4, v4))
+
+    def pack(x4):
+        x = x4.reshape(b, l, h * dh)
+        pad = jnp.asarray(rng.normal(size=(b, lp - l, h * dh)), jnp.float32)
+        return jnp.concatenate([x, pad], axis=1)   # garbage pad rows
+
+    out = flash_mha_packed(pack(q4), pack(k4), pack(v4), num_heads=h,
+                           l_real=l, blocks=blocks, interpret=True)
+    out = np.asarray(out)[:, :l].reshape(b, l, h, dh)
+    return float(np.abs(out - ref).max())
+
+
+def test_packed_padded():
+    # garbage pad rows in q/k/v must not leak into real rows
+    assert _run_packed(2, 700, 1024, 4, 64, (512, 512)) < 2e-2
+
+
+def test_packed_exact_multiple():
+    assert _run_packed(1, 1024, 1024, 2, 64, (512, 512)) < 2e-2
+
+
+def test_packed_asymmetric_blocks():
+    assert _run_packed(1, 1400, 1536, 2, 64, (1536, 512)) < 2e-2
+
+
+def test_packed_wiring_through_dit_stack(monkeypatch):
+    """Exercises the FULL packed path on CPU: DiTStack pads once, plumbs
+    (packed_l, blocks) into Attention, runs the packed kernel (interpret),
+    routes grads through the custom_vjp, and slices back — outputs and
+    grads must match the plain XLA path."""
+    import functools as ft
+
+    import flax.linen  # noqa: F401  (ensure flax importable first)
+
+    from open_diffusiongs_tpu.models import transformer as tr
+    from open_diffusiongs_tpu.ops import attention as at
+
+    # On CPU, force the flash resolution and interpret-mode kernels.
+    monkeypatch.setattr(tr, "resolve_attn_impl",
+                        lambda impl: "flash" if impl == "auto" else impl)
+    real_packed = at.flash_mha_packed
+    monkeypatch.setattr(
+        at, "flash_mha_packed",
+        ft.partial(real_packed, interpret=True))
+
+    def fake_splash(q, k, v):   # diff path: exact XLA reference
+        return jax.nn.dot_product_attention(q * q.shape[-1] ** 0.5, k, v)
+
+    monkeypatch.setattr(tr, "_splash_attention", fake_splash)
+    tr._make_packed_attn.cache_clear()
+
+    b, l, d, heads, layers = 1, 70, 128, 2, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+
+    stack = tr.DiTStack(hidden_size=d, num_heads=heads, num_layers=layers,
+                        remat=False, attn_impl="auto")
+    params = stack.init(jax.random.PRNGKey(0), x, c)
+    out_packed = stack.apply(params, x, c)
+
+    stack_x = tr.DiTStack(hidden_size=d, num_heads=heads, num_layers=layers,
+                          remat=False, attn_impl="xla")
+    out_xla = stack_x.apply(params, x, c)
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_xla),
+                               atol=2e-3)
+
+    def loss(p, module):
+        return jnp.sum(module.apply(p, x, c) ** 2)
+
+    g_p = jax.grad(loss)(params, stack)
+    g_x = jax.grad(loss)(params, stack_x)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    for a, bb in zip(flat_p, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-3, rtol=5e-2)
+    tr._make_packed_attn.cache_clear()

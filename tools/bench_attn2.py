@@ -193,6 +193,13 @@ def main():
             ("mha_1024_sbf16", 1024, 1024, 1024, False, "tile", True),
             ("mha_2048_pvf32", 2048, 2048, 2048, True, "tile", False),
         ]
+    if os.environ.get("ATTN_BLOCKS"):
+        # "bq:bkv:pad,bq:bkv:pad,..." — all pvf32/tile
+        variants = []
+        for spec in os.environ["ATTN_BLOCKS"].split(","):
+            bq_, bkv_, pad_ = (int(x) for x in spec.split(":"))
+            variants.append((f"mha_{bq_}q_{bkv_}kv_p{pad_}",
+                             bq_, bkv_, pad_, True, "tile", False))
     for name, bq, bkv, pad_to, pv_f32, sub, sbf16 in variants:
         lp = -(-args.l // pad_to) * pad_to
         q = jnp.asarray(rng.normal(0, 1, (h, lp, d)), jnp.bfloat16)

@@ -43,6 +43,7 @@ def main():
     rng = np.random.default_rng(0)
     h, d = 16, 64
     results = {}
+    grad_too = bool(os.environ.get("ATTN_GRAD"))
     for l in (4098, 16386):
         q, k, v = (jnp.asarray(rng.normal(size=(1, l, h, d)), jnp.bfloat16)
                    for _ in range(3))
@@ -54,6 +55,18 @@ def main():
                 "ms": round(t * 1e3, 2),
                 "mfu_pct": round(100 * flops / t / PEAK_BF16, 1)}
             print(f"{impl}_L{l}", results[f"{impl}_L{l}"], flush=True)
+            if grad_too:
+                def g(e, q=q, k=k, v=v, impl=impl):
+                    def f(q):
+                        o = fused_attention(q, k, v, impl)
+                        return jnp.sum(o.astype(jnp.float32))
+                    return jax.grad(f)(q + e.astype(q.dtype))
+                tg = loop_timed(g)
+                results[f"{impl}_grad_L{l}"] = {
+                    "ms": round(tg * 1e3, 2),
+                    "bwd_ms_est": round((tg - t) * 1e3, 2)}
+                print(f"{impl}_grad_L{l}", results[f"{impl}_grad_L{l}"],
+                      flush=True)
 
     print(json.dumps({"results": results, "device": str(jax.devices()[0])}))
 
