@@ -88,6 +88,11 @@ class RasterizeConfig(NamedTuple):
     # the blend intermediates (the reference's DeferredGaussianRender memory
     # trick, gs_core.py:949-1064, as a one-line remat policy)
     remat: bool = True
+    # Pallas per-tile blend kernel (ops/blend_kernel.py): forward-path
+    # replacement for the chunked XLA scan, 'auto' = on TPU backends.
+    # Gradients always route through the XLA scan via custom_vjp, so
+    # training semantics (checkpointed chunks) are unchanged.
+    pallas_blend: str = "auto"   # 'auto' | 'on' | 'off'
 
 
 class PreprocessedView(NamedTuple):
@@ -402,14 +407,131 @@ def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
                     overflow_gaussians=overflow_gaussians, entries=entries)
 
 
+def _blend_chunk(pix, carry, chunk_in):
+    """One depth chunk of the blend scan (forward.cu:261-374 semantics).
+    Layout: pixels on the last (lane) axis — [T, kc, ppt]; the cumulative
+    transmittance runs along the kc (sublane) axis."""
+    t_run, dead, acc_c, acc_d = carry                   # [T, ppt] / [T, ppt, 3]
+    cxy, ccon, ccol, copa, cdep, cmask = chunk_in       # [T, kc, .]
+    dx = cxy[:, :, 0, None] - pix[:, None, :, 0]        # [T, kc, ppt]
+    dy = cxy[:, :, 1, None] - pix[:, None, :, 1]
+    power = (-0.5 * (ccon[:, :, 0, None] * dx * dx
+                     + ccon[:, :, 2, None] * dy * dy)
+             - ccon[:, :, 1, None] * dx * dy)           # [T, kc, ppt]
+    alpha = jnp.minimum(ALPHA_MAX, copa[:, :, None] * jnp.exp(power))
+    skip = (power > 0.0) | (alpha < ALPHA_MIN) | (~cmask[:, :, None])
+    a = jnp.where(skip, 0.0, alpha)
+    g = 1.0 - a
+    cp = jnp.cumprod(g, axis=1)
+    cp_exc = jnp.concatenate(
+        [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+    t_before = t_run[:, None, :] * cp_exc
+    viol = (~skip) & (t_before * (1.0 - alpha) < EARLY_STOP_T)
+    earlier_viol = (jnp.cumsum(viol, axis=1) - viol.astype(jnp.int32)) > 0
+    dead_before = dead[:, None, :] | earlier_viol
+    contrib = (~skip) & (~viol) & (~dead_before)
+    wgt = jnp.where(contrib, alpha * t_before, 0.0)     # [T, kc, ppt]
+    acc_c = acc_c + jnp.einsum("tkp,tkc->tpc", wgt, ccol,
+                               precision=jax.lax.Precision.HIGHEST)
+    acc_d = acc_d + jnp.sum(wgt * cdep[:, :, None], axis=1)
+    t_run = t_run * jnp.prod(jnp.where(contrib, 1.0 - alpha, 1.0), axis=1)
+    dead = dead | jnp.any(viol, axis=1)
+    return (t_run, dead, acc_c, acc_d), None
+
+
+def _blend_scan_core(packed, idx, mask, tiles_x: int, tiles_y: int,
+                     cfg: RasterizeConfig):
+    """Differentiable chunked-scan blend core.  Returns the per-tile
+    accumulators (t_fin [T,ppt], acc_c [T,ppt,3], acc_d [T,ppt])."""
+    num_tiles = tiles_x * tiles_y
+    ppt = TILE * TILE
+    kc = cfg.blend_chunk
+    K = idx.shape[1]
+    n_chunks = K // kc
+    pix = _tile_pixel_centers(tiles_x, tiles_y)
+    g_all = packed[idx]                                 # [T, K, 10]
+    chunks = jax.tree.map(
+        lambda x: x.reshape(num_tiles, n_chunks, kc, *x.shape[2:])
+                   .swapaxes(0, 1),
+        (g_all[..., 0:2], g_all[..., 2:5], g_all[..., 5:8],
+         g_all[..., 8], g_all[..., 9], mask))
+    init = (jnp.ones((num_tiles, ppt), jnp.float32),
+            jnp.zeros((num_tiles, ppt), bool),
+            jnp.zeros((num_tiles, ppt, 3), jnp.float32),
+            jnp.zeros((num_tiles, ppt), jnp.float32))
+    # checkpoint the chunk body: backward recomputes the [T, kc, ppt]
+    # blend intermediates per chunk instead of saving all n_chunks
+    (t_fin, _, acc_c, acc_d), _ = jax.lax.scan(
+        jax.checkpoint(functools.partial(_blend_chunk, pix),
+                       prevent_cse=False), init, chunks)
+    return t_fin, acc_c, acc_d
+
+
+def _tile_pixel_centers(tiles_x: int, tiles_y: int) -> jnp.ndarray:
+    """[T, ppt, 2] integer pixel coords per tile (pixf, forward.cu:283)."""
+    num_tiles = tiles_x * tiles_y
+    ppt = TILE * TILE
+    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    t_origin = jnp.stack([(t_ids % tiles_x) * TILE, (t_ids // tiles_x) * TILE],
+                         axis=-1).astype(jnp.float32)       # [T, 2]
+    lp = jnp.arange(ppt, dtype=jnp.int32)
+    local = jnp.stack([lp % TILE, lp // TILE], axis=-1).astype(jnp.float32)
+    return t_origin[:, None, :] + local[None, :, :]         # [T, ppt, 2]
+
+
+def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
+    """Forward blend via the per-tile Pallas kernel (ops/blend_kernel.py).
+    Same (t_fin, acc_c, acc_d) contract as the XLA scan core."""
+    from .blend_kernel import blend_tiles_pallas
+
+    g = packed[idx]                                         # [T, K, 10]
+    opa = g[..., 8] * mask                                  # fold bin mask
+    g = jnp.concatenate([g[..., :8], opa[..., None], g[..., 9:]], axis=-1)
+    K = g.shape[1]
+    kp = -(-K // 128) * 128
+    if kp != K:
+        g = jnp.pad(g, ((0, 0), (0, kp - K), (0, 0)))
+    # chunk-level early exit wants the index one past the LAST set mask bit
+    # (robust even if the mask is not a contiguous prefix)
+    any_m = mask.any(axis=1)
+    last = K - jnp.argmax(mask[:, ::-1].astype(jnp.int32), axis=1)
+    counts = jnp.where(any_m, last, 0).astype(jnp.int32)
+    return blend_tiles_pallas(g, counts, tiles_x, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
+                     interpret: bool = False):
+    """custom_vjp blend core: primal = Pallas kernel, differentiated path =
+    the checkpointed XLA scan (training semantics unchanged)."""
+
+    @jax.custom_vjp
+    def core(packed, idx, mask):
+        return _blend_pallas_core(packed, idx, mask, tiles_x, interpret)
+
+    def fwd(packed, idx, mask):
+        return jax.vjp(
+            lambda p, i, m: _blend_scan_core(p, i, m, tiles_x, tiles_y, cfg),
+            packed, idx, mask)
+
+    def bwd(vjp_fn, g):
+        return vjp_fn(g)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
 def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
                 tiles_y: int, bg: jnp.ndarray, cfg: RasterizeConfig
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Front-to-back alpha blending per tile (forward.cu renderCUDA:261-374).
 
-    The sequential per-pixel loop becomes a chunked scan: within each depth
-    chunk the transmittance product is an (exclusive) cumprod and the
-    early-stop is a cumulative-or, both parallel over [tiles, pixels, chunk].
+    Three interchangeable cores: the per-tile Pallas kernel (TPU forward
+    default — intermediates stay in VMEM), a chunked lax.scan (the
+    differentiable reference the kernel's custom_vjp routes gradients
+    through), and a while_loop variant with chunk-level early exit.  Within
+    each depth chunk the transmittance product is an (exclusive) cumprod
+    and the early-stop a cumulative-or, parallel over [tiles, pixels, chunk].
 
     Returns (color [Hp, Wp, 3], alpha [Hp, Wp], depth [Hp, Wp]) where
     Hp = tiles_y*TILE, Wp = tiles_x*TILE (crop to h, w at the caller).
@@ -426,43 +548,8 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
          pre.depth[:, None]], axis=-1)
 
-    # Pixel centers per tile: [T, ppt, 2]  (pixf = integer coords, forward.cu:283)
-    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_origin = jnp.stack([(t_ids % tiles_x) * TILE, (t_ids // tiles_x) * TILE],
-                         axis=-1).astype(jnp.float32)       # [T, 2]
-    lp = jnp.arange(ppt, dtype=jnp.int32)
-    local = jnp.stack([lp % TILE, lp // TILE], axis=-1).astype(jnp.float32)
-    pix = t_origin[:, None, :] + local[None, :, :]          # [T, ppt, 2]
-
-    def chunk(carry, chunk_in):
-        # Layout: pixels on the last (lane) axis — [T, kc, ppt]; the
-        # cumulative transmittance runs along the kc (sublane) axis.
-        t_run, dead, acc_c, acc_d = carry                   # [T, ppt] / [T, ppt, 3]
-        cxy, ccon, ccol, copa, cdep, cmask = chunk_in       # [T, kc, .]
-        dx = cxy[:, :, 0, None] - pix[:, None, :, 0]        # [T, kc, ppt]
-        dy = cxy[:, :, 1, None] - pix[:, None, :, 1]
-        power = (-0.5 * (ccon[:, :, 0, None] * dx * dx
-                         + ccon[:, :, 2, None] * dy * dy)
-                 - ccon[:, :, 1, None] * dx * dy)           # [T, kc, ppt]
-        alpha = jnp.minimum(ALPHA_MAX, copa[:, :, None] * jnp.exp(power))
-        skip = (power > 0.0) | (alpha < ALPHA_MIN) | (~cmask[:, :, None])
-        a = jnp.where(skip, 0.0, alpha)
-        g = 1.0 - a
-        cp = jnp.cumprod(g, axis=1)
-        cp_exc = jnp.concatenate(
-            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
-        t_before = t_run[:, None, :] * cp_exc
-        viol = (~skip) & (t_before * (1.0 - alpha) < EARLY_STOP_T)
-        earlier_viol = (jnp.cumsum(viol, axis=1) - viol.astype(jnp.int32)) > 0
-        dead_before = dead[:, None, :] | earlier_viol
-        contrib = (~skip) & (~viol) & (~dead_before)
-        wgt = jnp.where(contrib, alpha * t_before, 0.0)     # [T, kc, ppt]
-        acc_c = acc_c + jnp.einsum("tkp,tkc->tpc", wgt, ccol,
-                                   precision=jax.lax.Precision.HIGHEST)
-        acc_d = acc_d + jnp.sum(wgt * cdep[:, :, None], axis=1)
-        t_run = t_run * jnp.prod(jnp.where(contrib, 1.0 - alpha, 1.0), axis=1)
-        dead = dead | jnp.any(viol, axis=1)
-        return (t_run, dead, acc_c, acc_d), None
+    pix = _tile_pixel_centers(tiles_x, tiles_y)
+    chunk = functools.partial(_blend_chunk, pix)
 
     n_chunks = K // kc
     init = (jnp.ones((num_tiles, ppt), jnp.float32),
@@ -474,7 +561,15 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         return jax.lax.dynamic_slice(arr, (0, c * kc) + (0,) * (arr.ndim - 2),
                                      (num_tiles, width) + arr.shape[2:])
 
-    if cfg.early_exit:
+    use_pallas = cfg.pallas_blend == "on" or (
+        cfg.pallas_blend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        # 'on' on a non-TPU backend runs the kernel interpreted (tests)
+        interp = jax.default_backend() != "tpu"
+        t_fin, acc_c, acc_d = _make_blend_core(cfg, tiles_x, tiles_y,
+                                               interpret=interp)(
+            packed, bins.idx, bins.mask)
+    elif cfg.early_exit:
         # Chunk-level CUDA early termination (forward.cu:341-351): stop as
         # soon as every pixel is saturated or every tile list is exhausted.
         # The gather runs inside the loop, so skipped chunks cost nothing.
@@ -498,16 +593,8 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         _, t_fin, _, acc_c, acc_d = jax.lax.while_loop(
             cond, body, (jnp.int32(0),) + init)
     else:
-        g_all = packed[bins.idx]                            # [T, K, 10]
-        chunks = jax.tree.map(
-            lambda x: x.reshape(num_tiles, n_chunks, kc, *x.shape[2:])
-                       .swapaxes(0, 1),
-            (g_all[..., 0:2], g_all[..., 2:5], g_all[..., 5:8],
-             g_all[..., 8], g_all[..., 9], bins.mask))
-        # checkpoint the chunk body: backward recomputes the [T, kc, ppt]
-        # blend intermediates per chunk instead of saving all n_chunks
-        (t_fin, _, acc_c, acc_d), _ = jax.lax.scan(
-            jax.checkpoint(chunk, prevent_cse=False), init, chunks)
+        t_fin, acc_c, acc_d = _blend_scan_core(
+            packed, bins.idx, bins.mask, tiles_x, tiles_y, cfg)
 
     color = acc_c + t_fin[..., None] * bg[None, None, :]    # forward.cu:370-372
     # [T, ppt, c] -> [ty, tx, py, px, c] -> [Hp, Wp, c]

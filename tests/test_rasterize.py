@@ -257,3 +257,29 @@ def test_mark_visible():
                            H, W)[0]
     # every preprocess-valid gaussian must be frustum-visible
     assert bool(jnp.all(jnp.where(pre.valid, vis0, True)))
+
+
+def test_pallas_blend_matches_scan(rng):
+    """The Pallas per-tile blend kernel (interpret mode on CPU) must match
+    the XLA scan core bit-for-bit up to f32 reassociation, and its
+    custom_vjp must give the scan path's exact gradients."""
+    g, c2w, fxy = _scene(rng, b=1, n=300, v=2)
+    out_off = rz.render(g, c2w, fxy, H, W,
+                        cfg=CFG._replace(pallas_blend="off"))
+    out_on = rz.render(g, c2w, fxy, H, W,
+                       cfg=CFG._replace(pallas_blend="on"))
+    for k in ("render", "alpha", "depth"):
+        np.testing.assert_allclose(np.asarray(out_on[k]),
+                                   np.asarray(out_off[k]), atol=2e-5,
+                                   err_msg=k)
+
+    def loss(xyz, which):
+        gg = g._replace(xyz=xyz)
+        out = rz.render(gg, c2w, fxy, H, W,
+                        cfg=CFG._replace(pallas_blend=which))
+        return jnp.sum(out["render"] ** 2)
+
+    g_on = jax.grad(lambda x: loss(x, "on"))(g.xyz)
+    g_off = jax.grad(lambda x: loss(x, "off"))(g.xyz)
+    np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                               atol=1e-6, rtol=1e-5)
