@@ -198,16 +198,26 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
 
 def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
                      blocks: tuple[int, int] | None = None,
+                     group_cols: int | None = None,
                      interpret: bool = False):
     """Full MHA on the packed layout.  q/k/v: [b, Lp, h*d_h] with head-major
     columns (column h*d_h + c is head h, channel c) and Lp already padded to
     a block multiple; rows >= l_real are padding.  Returns [b, Lp, h*d_h]
-    (pad rows garbage).  Requires d_h <= 64, 128 % d_h == 0, and num_heads
-    divisible by 128//d_h (heads are processed in 128-column groups)."""
+    (pad rows garbage).  Requires d_h <= 64 and 128 % d_h == 0.
+
+    `group_cols` (a multiple of 128) is how many head columns one grid step
+    processes — Pallas TPU blocks need 128-divisible last dims, and wider
+    groups amortize per-step overhead at short sequence lengths (fewer grid
+    steps).  num_heads must be divisible by group_cols // d_h."""
     b, lp, hd = q.shape
     dh = hd // num_heads
-    hps = 128 // dh
-    assert dh <= 64 and 128 % dh == 0 and num_heads % hps == 0, (dh, num_heads)
+    gc = group_cols or pick_group_cols(l_real)
+    gc = min(gc, hd)
+    if num_heads % (gc // dh) != 0:
+        gc = 128                        # narrow fallback always divides
+    hps = gc // dh
+    assert dh <= 64 and 128 % dh == 0 and gc % 128 == 0, (dh, gc)
+    assert num_heads % hps == 0, (num_heads, hps)
     bq, bkv = blocks or pick_packed_blocks(l_real)
     assert lp % bq == 0 and lp % bkv == 0, (lp, bq, bkv)
     nq, nkv = lp // bq, lp // bkv
@@ -222,16 +232,16 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
             kern,
             grid=(groups, nq, nkv),
             in_specs=[
-                pl.BlockSpec((bq, 128), lambda g, i, j: (i, g)),
-                pl.BlockSpec((bkv, 128), lambda g, i, j: (j, g)),
-                pl.BlockSpec((bkv, 128), lambda g, i, j: (j, g)),
+                pl.BlockSpec((bq, gc), lambda g, i, j: (i, g)),
+                pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g)),
+                pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g)),
             ],
-            out_specs=pl.BlockSpec((bq, 128), lambda g, i, j: (i, g)),
+            out_specs=pl.BlockSpec((bq, gc), lambda g, i, j: (i, g)),
             out_shape=jax.ShapeDtypeStruct((lp, hd), qi.dtype),
             scratch_shapes=[
                 pltpu.VMEM((bq, 128 * hps), jnp.float32),
                 pltpu.VMEM((bq, 128 * hps), jnp.float32),
-                pltpu.VMEM((bq, 128), qi.dtype),
+                pltpu.VMEM((bq, gc), qi.dtype),
                 pltpu.VMEM((bkv, 128 * hps), vi.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -240,6 +250,15 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
         )(qi, ki, vi)
 
     return jax.vmap(run)(q, k, v)
+
+
+def pick_group_cols(l: int) -> int:
+    """Head columns per grid step.  The v5e sweep (tools/bench_attn3.py)
+    says wider groups do NOT pay: at L=4098, gc=256 runs 2.08-2.10 ms vs
+    2.03 at gc=128, and gc>=256 with bq=1536 fails to compile (VMEM).
+    Keep 128; the knob stays for experimentation."""
+    del l
+    return 128
 
 
 def flash_full_mha(q, k, v, *, blocks: tuple[int, int] | None = None,
