@@ -156,7 +156,32 @@ def bench_attention(l=16386, heads=16, dim=64, iters=20):
     return dt * 1e3, mfu
 
 
+def wait_for_device(max_tries: int = 12, probe_timeout: int = 90,
+                    sleep_s: int = 120) -> None:
+    """A crashed Mosaic compile can transiently wedge the remote TPU
+    backend (every new process hangs on first device use, recovery takes
+    ~20-40 min — see .claude/skills/verify/SKILL.md).  Probe in a
+    SUBPROCESS (a hung in-process jax call cannot be timed out) and wait
+    it out so a driver bench run is not lost to a transient wedge."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp;"
+             "print('OK', float(jax.device_put(jnp.ones((4,))).sum()))")
+    for i in range(max_tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout)
+            if "OK" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] device probe {i + 1}/{max_tries} failed; "
+              f"waiting {sleep_s}s", file=sys.stderr, flush=True)
+        time.sleep(sleep_s)
+
+
 def main():
+    wait_for_device()
     h = w = int(os.environ.get("BENCH_RES", "256"))
     steps, n_views = 30, 4
 

@@ -118,24 +118,23 @@ def pick_blocks(l: int) -> tuple[int, int]:
 
 def plan_packed(l: int) -> tuple[int, tuple[int, int]]:
     """(padded length, (bq, bkv)) for a DiT token count l — the caller pads
-    the token axis once around the whole stack (models/transformer.py)."""
-    bq, bkv = pick_packed_blocks(l)
-    lcm = max(bq, bkv) if max(bq, bkv) % min(bq, bkv) == 0 \
-        else bq * bkv // math.gcd(bq, bkv)
-    return -(-l // lcm) * lcm, (bq, bkv)
+    the token axis once around the whole stack (models/transformer.py).
+
+    v5e sweep (tools/bench_attn2.py): bq=1536 blocks edge out 512^2 blocks
+    by ~3% at equal padding ((1536,512)@16896 15.55 ms vs (1024,1024)@17408
+    15.64 at the 512^2 length; (1536,768) 2.16 vs (512,512) 2.22 at 4608),
+    but padding waste is quadratic in lp, so the wide blocks are only used
+    when the 512-aligned pad already lands on a multiple of 1536 (true for
+    both flagship lengths: 16386 -> 16896, 4098 -> 4608; NOT true for e.g.
+    scene-eval counts like 3074 -> 3584, which keep (512,512))."""
+    lp = -(-l // 512) * 512
+    if l > 2048 and lp % 1536 == 0:
+        return lp, ((1536, 512) if l >= 8192 else (1536, 768))
+    return lp, (512, 512)
 
 
 def pick_packed_blocks(l: int) -> tuple[int, int]:
-    """v5e sweep (tools/bench_attn2.py): at the 512^2 length the 512-aligned
-    pad (16896 vs 17408) plus (1536,512) blocks beat (1024,1024); at the
-    256^2 length (1536,768) edges out (512,512) with the same 4608 pad.
-    Small models (tiny test configs, few-view scene sampling) get small
-    blocks so the pad-to-lcm cost stays bounded."""
-    if l >= 8192:
-        return 1536, 512
-    if l > 2048:
-        return 1536, 768
-    return 512, 512
+    return plan_packed(l)[1]
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,

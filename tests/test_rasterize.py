@@ -283,3 +283,36 @@ def test_pallas_blend_matches_scan(rng):
     g_off = jax.grad(lambda x: loss(x, "off"))(g.xyz)
     np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_pallas_blend_edge_cases(rng):
+    """Pallas blend: zero-opacity scene (pure background) and a saturating
+    opaque Gaussian — the early-exit/count plumbing must not corrupt
+    either extreme."""
+    from open_diffusiongs_tpu.ops.gs_math import rgb_to_sh0
+    cfg = CFG._replace(pallas_blend="on")
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
+
+    g0 = Gaussians(
+        xyz=jnp.zeros((1, 2, 3)), features=jnp.zeros((1, 2, 1, 3)),
+        scaling=jnp.full((1, 2, 3), -3.0),
+        rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (1, 2, 1)),
+        opacity=jnp.full((1, 2, 1), -100.0))
+    out = rz.render(g0, c2w, fxy, H, W, bg_color=(0.2, 0.4, 0.6), cfg=cfg)
+    img = np.asarray(out["render"])[0, 0]
+    np.testing.assert_allclose(img[0], 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), 0.0, atol=1e-6)
+
+    feat = np.asarray(rgb_to_sh0(jnp.asarray([1.0, 0.5, 0.25])))
+    g1 = Gaussians(
+        xyz=jnp.zeros((1, 1, 3)),
+        features=jnp.asarray(feat).reshape(1, 1, 1, 3),
+        scaling=jnp.full((1, 1, 3), jnp.log(0.7)),
+        rotation=jnp.asarray([[[1.0, 0, 0, 0]]]),
+        opacity=jnp.full((1, 1, 1), 20.0))        # sigmoid -> ~1
+    out1 = rz.render(g1, c2w, fxy, H, W, cfg=cfg)
+    out1_ref = rz.render(g1, c2w, fxy, H, W,
+                         cfg=CFG._replace(pallas_blend="off"))
+    np.testing.assert_allclose(np.asarray(out1["render"]),
+                               np.asarray(out1_ref["render"]), atol=2e-5)
