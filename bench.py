@@ -34,14 +34,26 @@ BASELINE_256_S = 6.0    # README.md:39 (paper claim, 1 GPU)
 BASELINE_512_S = 24.0   # README.md:74 (open-source 512 model)
 
 
-def _make_system(h, w, steps=30, remat=False):
+def _make_system(h, w, steps=30, remat=False, scene=False):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
-    from open_diffusiongs_tpu.systems.object_system import (
-        ObjectSystem, ObjectSystemConfig)
+    from open_diffusiongs_tpu.systems.object_system import ObjectSystemConfig
+    from open_diffusiongs_tpu.systems.scene_system import (
+        SceneSystem, SceneSystemConfig)
+    from open_diffusiongs_tpu.systems.object_system import ObjectSystem
+    model = dict(width=1024, num_layers=24, patch_size=8,
+                 dim_heads=64, dtype=jnp.bfloat16, remat=remat)
+    if scene:
+        # flagship scene denoiser (configs/diffusionGS_scene.yaml:27-36)
+        model.update(ray_pe_type="plk", range_setting_near=0.0,
+                     range_setting_far=500.0)
+        return SceneSystem(SceneSystemConfig(
+            num_inference_steps=steps, shape_model=model,
+            raster=RasterizeConfig(max_tiles_per_gaussian=16,
+                                   max_per_tile=1024, blend_chunk=32),
+            use_lpips=False))
     return ObjectSystem(ObjectSystemConfig(
         num_inference_steps=steps,
-        shape_model=dict(width=1024, num_layers=24, patch_size=8,
-                         dim_heads=64, dtype=jnp.bfloat16, remat=remat),
+        shape_model=model,
         # K=1024: the lossless-in-practice capacity for 4-view pixel-aligned
         # models (docs/CAPACITY.md) — the bench renders what CUDA renders
         raster=RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=1024,
@@ -50,11 +62,11 @@ def _make_system(h, w, steps=30, remat=False):
     ))
 
 
-def bench_sample(h, w, n_views=4, steps=30):
+def bench_sample(h, w, n_views=4, steps=30, scene=False):
     """Returns (best_seconds, compile_seconds)."""
     from __graft_entry__ import _orbit_cameras
 
-    system = _make_system(h, w, steps)
+    system = _make_system(h, w, steps, scene=scene)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
     cond = jnp.asarray(
@@ -209,6 +221,17 @@ def main():
                 steps * 3 * (n_views * 512 * 512) / best512 / 1e6, 1)
         except Exception as ex:  # noqa: BLE001 — keep the primary metric
             out["error_512"] = str(ex)[:200]
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_SCENE"):
+        try:
+            # scene model family (plk ray PE + depth-range head): 1 input
+            # view -> 3 novel views, the RE10K eval shape
+            best_sc, compile_sc = bench_sample(h, w, n_views, steps,
+                                               scene=True)
+            out["scene_image_to_3d_seconds_256"] = round(best_sc, 3)
+            out["scene_compile_s"] = round(compile_sc, 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_scene"] = str(ex)[:200]
 
     if h == 256 and not os.environ.get("BENCH_SKIP_ATTN"):
         try:

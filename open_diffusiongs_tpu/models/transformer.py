@@ -243,15 +243,22 @@ class Attention(nn.Module):
             o = _make_packed_attn(self.num_heads, self.packed_l,
                                   tuple(self.packed_blocks))(q, k, v)
         else:
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q = q.reshape(b, l, self.num_heads, head_dim)
-            k = k.reshape(b, l, self.num_heads, head_dim)
-            v = v.reshape(b, l, self.num_heads, head_dim)
+            # If the stack pre-padded the token axis but this block cannot
+            # take the packed path (qk_norm, odd head counts), the pad rows
+            # must NOT participate as keys — slice to the real rows and pad
+            # the output back.
+            lr = self.packed_l if self.packed_l is not None else l
+            q, k, v = jnp.split(qkv[:, :lr], 3, axis=-1)
+            q = q.reshape(b, lr, self.num_heads, head_dim)
+            k = k.reshape(b, lr, self.num_heads, head_dim)
+            v = v.reshape(b, lr, self.num_heads, head_dim)
             if self.qk_norm:
                 q = RMSNorm(head_dim, name="q_norm")(q)
                 k = RMSNorm(head_dim, name="k_norm")(k)
             o = fused_attention(q, k, v, impl)
-            o = o.reshape(b, l, d)
+            o = o.reshape(b, lr, d)
+            if lr != l:
+                o = jnp.pad(o, ((0, 0), (0, l - lr), (0, 0)))
         return nn.Dense(d, use_bias=True, kernel_init=INIT,
                         bias_init=nn.initializers.zeros, dtype=self.dtype,
                         name="proj")(o)
