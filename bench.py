@@ -190,6 +190,11 @@ def wait_for_device(max_tries: int = 12, probe_timeout: int = 90,
         print(f"[bench] device probe {i + 1}/{max_tries} failed; "
               f"waiting {sleep_s}s", file=sys.stderr, flush=True)
         time.sleep(sleep_s)
+    # Fail fast with a diagnostic: proceeding would hang forever on the
+    # first in-process device call, losing the run with no output at all.
+    print("[bench] device unreachable after all probes; aborting",
+          file=sys.stderr, flush=True)
+    raise SystemExit(3)
 
 
 def main():

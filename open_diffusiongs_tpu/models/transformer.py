@@ -142,8 +142,7 @@ _flash_fwd_splash_bwd.defvjp(_ffsb_fwd, _ffsb_bwd)
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     impl: str = "auto") -> jnp.ndarray:
     """q/k/v: [b, l, h, d].  impl: 'auto' | 'flash' | 'splash' | 'xla'."""
-    if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    impl = resolve_attn_impl(impl)
     if impl == "flash" and q.shape[-1] > 64:
         impl = "splash"                  # the flash kernel assumes d <= 64
     if impl == "flash":

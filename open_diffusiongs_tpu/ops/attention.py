@@ -159,10 +159,17 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
     # denominator (the [bkv, 128*hps] build is ~8% of the score-element
     # VPU work; an lp-resident scratch would not fit VMEM at 512^2).
     v = v_ref[...]                                  # [bkv, hps*dh]
+    k_blk = k_ref[...]
     if masked:
         rows = lax.broadcasted_iota(jnp.int32, (bkv, 1), 0) + j * bkv
         keep = rows < l_real
         v = jnp.where(keep, v, 0)
+        # Zero pad K rows too: their scores must stay bounded (exactly 0),
+        # not whatever the layer stack left in the pad rows — a huge
+        # garbage score would inflate the running max and underflow every
+        # REAL key's exp2, zeroing the row despite the exact validity
+        # algebra handling the denominator.
+        k_blk = jnp.where(keep, k_blk, 0)
         valid = jnp.broadcast_to(keep.astype(v.dtype), (bkv, 128 - dh))
     else:
         valid = jnp.ones((bkv, 128 - dh), v.dtype)
@@ -172,7 +179,7 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
 
     for s in range(hps):
         hc = slice(s * dh, (s + 1) * dh)
-        qk = lax.dot_general(q_scr[:, hc], k_ref[:, hc], _NT,
+        qk = lax.dot_general(q_scr[:, hc], k_blk[:, hc], _NT,
                              preferred_element_type=jnp.float32)
         mc = slice(s * 128, (s + 1) * 128)
         m_prev = m_scr[:, mc]

@@ -548,19 +548,6 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
          pre.depth[:, None]], axis=-1)
 
-    pix = _tile_pixel_centers(tiles_x, tiles_y)
-    chunk = functools.partial(_blend_chunk, pix)
-
-    n_chunks = K // kc
-    init = (jnp.ones((num_tiles, ppt), jnp.float32),
-            jnp.zeros((num_tiles, ppt), bool),
-            jnp.zeros((num_tiles, ppt, 3), jnp.float32),
-            jnp.zeros((num_tiles, ppt), jnp.float32))
-
-    def slice_chunk(arr, c, width):
-        return jax.lax.dynamic_slice(arr, (0, c * kc) + (0,) * (arr.ndim - 2),
-                                     (num_tiles, width) + arr.shape[2:])
-
     use_pallas = cfg.pallas_blend == "on" or (
         cfg.pallas_blend == "auto" and jax.default_backend() == "tpu")
     if use_pallas:
@@ -573,6 +560,19 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         # Chunk-level CUDA early termination (forward.cu:341-351): stop as
         # soon as every pixel is saturated or every tile list is exhausted.
         # The gather runs inside the loop, so skipped chunks cost nothing.
+        chunk = functools.partial(_blend_chunk,
+                                  _tile_pixel_centers(tiles_x, tiles_y))
+        n_chunks = K // kc
+        init = (jnp.ones((num_tiles, ppt), jnp.float32),
+                jnp.zeros((num_tiles, ppt), bool),
+                jnp.zeros((num_tiles, ppt, 3), jnp.float32),
+                jnp.zeros((num_tiles, ppt), jnp.float32))
+
+        def slice_chunk(arr, c, width):
+            return jax.lax.dynamic_slice(
+                arr, (0, c * kc) + (0,) * (arr.ndim - 2),
+                (num_tiles, width) + arr.shape[2:])
+
         def cond(carry):
             c, _, dead, _, _ = carry
             cc = jnp.minimum(c, n_chunks - 1)

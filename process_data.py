@@ -41,10 +41,15 @@ def _load_chunk(file_path: str):
     try:
         import torch
         return torch.load(file_path, map_location="cpu", weights_only=False)
-    except Exception:
+    except Exception as e:
         # torch absent, or its import/load machinery unusable in this
         # process (e.g. partial re-import) — the bundled reader handles
-        # the standard torch.save ZIP layout either way.
+        # the standard torch.save ZIP layout either way.  Log the original
+        # failure so a genuinely corrupt chunk is not misattributed to the
+        # fallback reader.
+        if not isinstance(e, ImportError):
+            logging.warning(f"torch.load failed for {file_path} ({e}); "
+                            "retrying with the bundled reader")
         from open_diffusiongs_tpu.utils.torch_load import torch_load
         return torch_load(file_path)
 

@@ -138,3 +138,27 @@ def test_packed_wiring_through_dit_stack(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=5e-3, rtol=5e-2)
     tr._make_packed_attn.cache_clear()
+
+
+def test_packed_huge_pad_garbage():
+    """Pad K rows can hold arbitrary layer outputs (the stack pads once
+    around all 24 layers); a huge pad score must not inflate the running
+    max and underflow the real keys' weights (kernel zeroes pad K rows)."""
+    from open_diffusiongs_tpu.ops.attention import flash_mha_packed
+    rng = np.random.default_rng(3)
+    b, l, lp, h, dh = 1, 700, 1024, 2, 64
+    q4, k4, v4 = (jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+                  for _ in range(3))
+    ref = np.asarray(_ref(q4, k4, v4))
+
+    def pack(x4, pad_scale):
+        x = x4.reshape(b, l, h * dh)
+        pad = jnp.full((b, lp - l, h * dh), pad_scale, jnp.float32)
+        return jnp.concatenate([x, pad], axis=1)
+
+    out = flash_mha_packed(pack(q4, 1e4), pack(k4, 1e4), pack(v4, 1e4),
+                           num_heads=h, l_real=l, blocks=(512, 512),
+                           interpret=True)
+    out = np.asarray(out)[:, :l].reshape(b, l, h, dh)
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).max() < 2e-2
