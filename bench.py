@@ -213,6 +213,11 @@ def main():
         "views": n_views,
         "device": str(jax.devices()[0]),
     }
+    # Cumulative emission: each section appends its keys and re-prints the
+    # whole dict, so if a harness timeout kills the run mid-way the last
+    # COMPLETE line still carries the primary metric (the driver parses
+    # the final JSON line of stdout).
+    print(json.dumps(out), flush=True)
 
     if h == 256 and not os.environ.get("BENCH_SKIP_512"):
         try:
@@ -227,6 +232,8 @@ def main():
         except Exception as ex:  # noqa: BLE001 — keep the primary metric
             out["error_512"] = str(ex)[:200]
 
+    print(json.dumps(out), flush=True)
+
     if h == 256 and not os.environ.get("BENCH_SKIP_SCENE"):
         try:
             # scene model family (plk ray PE + depth-range head): 1 input
@@ -238,6 +245,8 @@ def main():
         except Exception as ex:  # noqa: BLE001
             out["error_scene"] = str(ex)[:200]
 
+    print(json.dumps(out), flush=True)
+
     if h == 256 and not os.environ.get("BENCH_SKIP_ATTN"):
         try:
             ms, mfu = bench_attention()
@@ -245,6 +254,8 @@ def main():
             out["attn_mfu_pct_512"] = round(mfu, 1)
         except Exception as ex:  # noqa: BLE001
             out["error_attn"] = str(ex)[:200]
+
+    print(json.dumps(out), flush=True)
 
     if h == 256 and not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
