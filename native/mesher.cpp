@@ -18,12 +18,14 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <functional>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <queue>
+#include <set>
 #include <unordered_map>
 #include <vector>
 
@@ -1057,7 +1059,9 @@ int mesh_remesh_isotropic(const float* verts_in, int64_t n_verts_in,
       while (remap[r] != r) r = remap[r];
       remap[i] = r;
     }
-    std::unordered_map<uint64_t, bool> seen;
+    // Key the seen-set on the actual sorted triple (not a hash of it):
+    // a hash collision here would silently drop a valid face.
+    std::set<std::array<int32_t, 3>> seen;
     NF.clear();
     for (size_t t = 0; t < F.size(); t += 3) {
       int32_t a = remap[F[t]], b = remap[F[t + 1]], c = remap[F[t + 2]];
@@ -1066,10 +1070,7 @@ int mesh_remesh_isotropic(const float* verts_in, int64_t n_verts_in,
       if (s0 > s1) std::swap(s0, s1);
       if (s1 > s2) std::swap(s1, s2);
       if (s0 > s1) std::swap(s0, s1);
-      uint64_t k = (static_cast<uint64_t>(s0) * 2654435761u) ^
-                   (static_cast<uint64_t>(s1) << 21) ^
-                   (static_cast<uint64_t>(s2) << 42);
-      if (!seen.emplace(k, true).second) continue;
+      if (!seen.insert({s0, s1, s2}).second) continue;
       NF.push_back(a); NF.push_back(b); NF.push_back(c);
     }
     F.swap(NF);

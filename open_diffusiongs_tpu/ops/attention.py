@@ -75,6 +75,9 @@ def _mha_padded(q, k, v1, *, bq: int, bkv: int, interpret: bool = False):
     """q/k [h, L, d] bf16 (q pre-scaled by scale*log2e); v1 [h, L, 128]
     = [V*valid | valid | 0...].  L must be a multiple of bq and bkv."""
     h, L, d = q.shape
+    assert L % bq == 0 and L % bkv == 0, (
+        f"padded length {L} must be a multiple of both blocks ({bq}, {bkv}) "
+        f"— a floor division here would silently truncate the KV sweep")
     nq, nkv = L // bq, L // bkv
     kern = functools.partial(_fwd_kernel, nkv=nkv)
     return pl.pallas_call(
@@ -278,7 +281,7 @@ def flash_full_mha(q, k, v, *, blocks: tuple[int, int] | None = None,
     b, l, h, d = q.shape
     assert d <= 64, "kernel assumes head_dim <= 64 (DiT uses 64)"
     bq, bkv = blocks or pick_blocks(l)
-    blk = max(bq, bkv)
+    blk = math.lcm(bq, bkv)   # lp must divide by BOTH blocks (see _mha_padded)
     lp = -(-l // blk) * blk
 
     scale = jnp.asarray(d ** -0.5 * LOG2E, q.dtype)

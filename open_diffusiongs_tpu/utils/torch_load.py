@@ -88,6 +88,28 @@ _TORCH_GLOBALS = {
     ("torch", "Size"): tuple,
 }
 
+# Mirrors torch.load(weights_only=True): only globals that reconstruct
+# plain containers/scalars may load.  Anything else — including stdlib
+# classes with pickle REDUCE gadget potential (os.system, subprocess,
+# functools.partial, ...) — is rejected, since .torch/.pt/.ckpt inputs
+# are downloaded third-party artifacts.
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"): __import__("collections").OrderedDict,
+    ("collections", "defaultdict"): __import__("collections").defaultdict,
+    ("builtins", "complex"): complex,
+    ("builtins", "set"): set,
+    ("builtins", "frozenset"): frozenset,
+    ("builtins", "bytearray"): bytearray,
+    ("builtins", "list"): list,
+    ("builtins", "tuple"): tuple,
+    ("builtins", "dict"): dict,
+    ("builtins", "int"): int,
+    ("builtins", "float"): float,
+    ("builtins", "bool"): bool,
+    ("builtins", "str"): str,
+    ("builtins", "bytes"): bytes,
+}
+
 
 class _Unpickler(pickle.Unpickler):
 
@@ -101,11 +123,11 @@ class _Unpickler(pickle.Unpickler):
         if module == "torch" and (name in _STORAGE_DTYPES
                                   or name == "BFloat16Storage"):
             return _StorageClass(name)
-        if module.startswith("torch"):
-            raise NotImplementedError(
-                f"global {module}.{name} is not supported by the torch-free "
-                f"reader (utils/torch_load.py)")
-        return super().find_class(module, name)
+        if (module, name) in _SAFE_GLOBALS:
+            return _SAFE_GLOBALS[(module, name)]
+        raise NotImplementedError(
+            f"global {module}.{name} is not in the torch-free reader's "
+            f"safelist (utils/torch_load.py); refusing to unpickle it")
 
     def persistent_load(self, pid: Any):
         if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
