@@ -194,13 +194,17 @@ def p_sample_step(sched: DiffusionSchedule,
                   t_idx: jnp.ndarray,
                   rng: jax.Array,
                   clip_denoised: bool = True,
-                  add_noise: bool = True):
+                  add_noise: bool = True,
+                  noise_fn: Optional[Callable] = None):
     """One reverse step x_t -> x_{t-1} (p_sample, gaussian_diffusion.py:479-518).
 
     cond: [b, n_cond, 3, h, w] clean views; x_t: [b, v_noisy, 3, h, w].
     t_idx: scalar spaced-timestep index (same across the batch, as in the
     sampling loop).  Returns (x_prev, pred_xstart, aux) where aux is the
     model's auxiliary output (renders + Gaussians).
+
+    noise_fn(t_idx) -> noise [same shape as x_t] overrides the PRNG draw —
+    used by the reference-execution golden test to replay recorded noise.
     """
     b = x_t.shape[0]
     t_idx = jnp.asarray(t_idx, jnp.int32)
@@ -219,7 +223,8 @@ def p_sample_step(sched: DiffusionSchedule,
     mean, _ = q_posterior(sched, pred_xstart, x_t, t_b)
     # FIXED_LARGE log-variance (gaussian_diffusion.py:379-392)
     logvar = _extract(sched.fixed_large_log_variance, t_b, x_t.ndim)
-    noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
+    noise = (noise_fn(t_idx) if noise_fn is not None
+             else jax.random.normal(rng, x_t.shape, x_t.dtype))
     nonzero = (t_idx != 0).astype(x_t.dtype) if add_noise else 0.0
     x_prev = mean + nonzero * jnp.exp(0.5 * logvar) * noise
     return x_prev, pred_xstart, (renders, aux)
@@ -232,7 +237,8 @@ def p_sample_loop(sched: DiffusionSchedule,
                   rng: jax.Array,
                   clip_denoised: bool = True,
                   return_trajectory: bool = False,
-                  final_model_fn: Optional[Callable] = None):
+                  final_model_fn: Optional[Callable] = None,
+                  noise_fn: Optional[Callable] = None):
     """Full reverse process (p_sample_loop_progressive,
     gaussian_diffusion.py:560-603) as one lax.scan; the t=0 step is peeled
     so the last denoiser call's Gaussians/renders are returned directly.
@@ -248,7 +254,8 @@ def p_sample_loop(sched: DiffusionSchedule,
         x, = carry
         step_rng = jax.random.fold_in(rng, t_idx)
         x_prev, pred_x0, _ = p_sample_step(
-            sched, model_fn, cond, x, t_idx, step_rng, clip_denoised)
+            sched, model_fn, cond, x, t_idx, step_rng, clip_denoised,
+            noise_fn=noise_fn)
         out = (x_prev, pred_x0) if return_trajectory else None
         return (x_prev,), out
 
@@ -257,7 +264,8 @@ def p_sample_loop(sched: DiffusionSchedule,
 
     x_final, pred_x0, (renders, aux) = p_sample_step(
         sched, final_model_fn or model_fn, cond, x_last,
-        jnp.asarray(0, jnp.int32), jax.random.fold_in(rng, 0), clip_denoised)
+        jnp.asarray(0, jnp.int32), jax.random.fold_in(rng, 0), clip_denoised,
+        noise_fn=noise_fn)
     out = {"sample": pred_x0, "renders": renders, "aux": aux}
     if return_trajectory:
         out["trajectory"] = traj
