@@ -154,8 +154,10 @@ def lpips(params: Dict[str, Any], x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray
     fy = _vgg_features(params, y)
     total = 0.0
     for si, (a, b) in enumerate(zip(fx, fy)):
-        a = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor: x / (||x||_c + eps)  (eps OUTSIDE the
+        # sqrt — matches the package exactly, see test_lpips_golden)
+        a = a / (jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True)) + 1e-10)
         d = (a - b) ** 2
         w = params[f"lin/{si}"].reshape(1, -1, 1, 1)
         total = total + jnp.mean(jnp.sum(d * w, axis=1), axis=(1, 2))
