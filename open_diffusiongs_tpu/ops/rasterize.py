@@ -90,9 +90,15 @@ class RasterizeConfig(NamedTuple):
     remat: bool = True
     # Pallas per-tile blend kernel (ops/blend_kernel.py): forward-path
     # replacement for the chunked XLA scan, 'auto' = on TPU backends.
-    # Gradients always route through the XLA scan via custom_vjp, so
-    # training semantics (checkpointed chunks) are unchanged.
     pallas_blend: str = "auto"   # 'auto' | 'on' | 'off'
+    # Backward-pass blend: 'auto'/'on' = the analytic per-tile Pallas
+    # kernel (blend_kernel._blend_bwd_kernel, the CUDA backward.cu
+    # equivalent — per-candidate gradient rows + one deterministic
+    # scatter-add, no scan recompute); 'off' = differentiate the
+    # checkpointed XLA scan (bit-identical to JAX AD, slower).  'auto'
+    # follows pallas_blend's decision.  Gradients agree to ~1e-5
+    # (tests/test_rasterize.py::test_pallas_bwd_matches_scan_grads).
+    pallas_bwd: str = "auto"     # 'auto' | 'on' | 'off'
 
 
 class PreprocessedView(NamedTuple):
@@ -479,11 +485,9 @@ def _tile_pixel_centers(tiles_x: int, tiles_y: int) -> jnp.ndarray:
     return t_origin[:, None, :] + local[None, :, :]         # [T, ppt, 2]
 
 
-def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
-    """Forward blend via the per-tile Pallas kernel (ops/blend_kernel.py).
-    Same (t_fin, acc_c, acc_d) contract as the XLA scan core."""
-    from .blend_kernel import blend_tiles_pallas
-
+def _prep_pallas_inputs(packed, idx, mask):
+    """Gather + mask-fold + pad the per-tile candidate rows for the Pallas
+    blend kernels.  Returns (g [T, Kp, 10], counts [T])."""
     g = packed[idx]                                         # [T, K, 10]
     opa = g[..., 8] * mask                                  # fold bin mask
     g = jnp.concatenate([g[..., :8], opa[..., None], g[..., 9:]], axis=-1)
@@ -496,26 +500,73 @@ def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
     any_m = mask.any(axis=1)
     last = K - jnp.argmax(mask[:, ::-1].astype(jnp.int32), axis=1)
     counts = jnp.where(any_m, last, 0).astype(jnp.int32)
+    return g, counts
+
+
+def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
+    """Forward blend via the per-tile Pallas kernel (ops/blend_kernel.py).
+    Same (t_fin, acc_c, acc_d) contract as the XLA scan core."""
+    from .blend_kernel import blend_tiles_pallas
+
+    g, counts = _prep_pallas_inputs(packed, idx, mask)
     return blend_tiles_pallas(g, counts, tiles_x, interpret=interpret)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
                      interpret: bool = False):
-    """custom_vjp blend core: primal = Pallas kernel, differentiated path =
-    the checkpointed XLA scan (training semantics unchanged)."""
+    """custom_vjp blend core: primal = Pallas kernel; backward = the
+    analytic Pallas kernel + one deterministic scatter-add (pallas_bwd
+    'auto'/'on', the CUDA backward.cu:399-557 equivalent) or JAX AD of the
+    checkpointed XLA scan ('off', bit-identical reference)."""
+    import numpy as _np
+
+    use_bwd_kernel = cfg.pallas_bwd != "off"
 
     @jax.custom_vjp
     def core(packed, idx, mask):
         return _blend_pallas_core(packed, idx, mask, tiles_x, interpret)
 
-    def fwd(packed, idx, mask):
-        return jax.vjp(
-            lambda p, i, m: _blend_scan_core(p, i, m, tiles_x, tiles_y, cfg),
-            packed, idx, mask)
+    if use_bwd_kernel:
+        from .blend_kernel import PPT, blend_bwd_pallas, blend_tiles_pallas
 
-    def bwd(vjp_fn, g):
-        return vjp_fn(g)
+        def fwd(packed, idx, mask):
+            g, counts = _prep_pallas_inputs(packed, idx, mask)
+            t_fin, acc_c, acc_d = blend_tiles_pallas(
+                g, counts, tiles_x, interpret=interpret)
+            return (t_fin, acc_c, acc_d), (packed, idx, mask, g, counts,
+                                           t_fin, acc_c, acc_d)
+
+        def bwd(res, cot):
+            packed, idx, mask, g, counts, t_fin, acc_c, acc_d = res
+            d_tfin, d_accc, d_accd = cot
+            T = g.shape[0]
+
+            def pack8(c3, s1, s2):                      # -> [T, 8, PPT]
+                return jnp.concatenate(
+                    [c3.transpose(0, 2, 1), s1[:, None, :], s2[:, None, :],
+                     jnp.zeros((T, 3, PPT), jnp.float32)], axis=1)
+
+            fo = pack8(acc_c, t_fin, acc_d)
+            ct = pack8(d_accc, d_tfin, d_accd)
+            dg = blend_bwd_pallas(g, counts, fo, ct, tiles_x,
+                                  interpret=interpret)
+            K = idx.shape[1]
+            dg = jnp.where(mask[..., None], dg[:, :K, :], 0.0)
+            d_packed = jnp.zeros_like(packed).at[idx.reshape(-1)].add(
+                dg.reshape(-1, 10))
+            return (d_packed,
+                    _np.zeros(idx.shape, jax.dtypes.float0),
+                    _np.zeros(mask.shape, jax.dtypes.float0))
+    else:
+        def fwd(packed, idx, mask):
+            return jax.vjp(
+                lambda p, i, m: _blend_scan_core(p, i, m, tiles_x, tiles_y,
+                                                 cfg),
+                packed, idx, mask)
+
+        def bwd(vjp_fn, g):
+            return vjp_fn(g)
 
     core.defvjp(fwd, bwd)
     return core

@@ -275,14 +275,40 @@ def test_pallas_blend_matches_scan(rng):
 
     def loss(xyz, which):
         gg = g._replace(xyz=xyz)
+        # pallas_bwd='off': this test pins the scan-vjp routing, which is
+        # JAX-AD-exact (the analytic kernel is tested separately below)
         out = rz.render(gg, c2w, fxy, H, W,
-                        cfg=CFG._replace(pallas_blend=which))
+                        cfg=CFG._replace(pallas_blend=which,
+                                         pallas_bwd="off"))
         return jnp.sum(out["render"] ** 2)
 
     g_on = jax.grad(lambda x: loss(x, "on"))(g.xyz)
     g_off = jax.grad(lambda x: loss(x, "off"))(g.xyz)
     np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_pallas_bwd_matches_scan_grads(rng):
+    """The analytic Pallas backward blend kernel (pallas_bwd='on', the CUDA
+    backward.cu equivalent) reproduces JAX AD of the XLA scan across EVERY
+    Gaussian attribute, through a loss that exercises color, alpha and
+    depth cotangents jointly."""
+    g, c2w, fxy = _scene(rng, b=1, n=300, v=2)
+
+    def loss(gg, bwd_mode):
+        out = rz.render(gg, c2w, fxy, H, W,
+                        cfg=CFG._replace(pallas_blend="on",
+                                         pallas_bwd=bwd_mode))
+        return (jnp.sum(out["render"] ** 2)
+                + 0.7 * jnp.sum(out["alpha"] ** 2)
+                + 0.3 * jnp.sum(out["depth"] ** 2))
+
+    g_kern = jax.grad(lambda x: loss(x, "on"))(g)
+    g_scan = jax.grad(lambda x: loss(x, "off"))(g)
+    for name, a, b in zip(g._fields, g_kern, g_scan):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
+            err_msg=f"grad mismatch in {name}")
 
 
 def test_pallas_blend_edge_cases(rng):

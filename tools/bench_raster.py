@@ -27,14 +27,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def synth_gaussians(n: int, rng: np.random.Generator):
+def synth_gaussians(n: int, rng: np.random.Generator, stats: str = "init",
+                    res: int = 512):
+    """Two measured populations (docs/CAPACITY.md):
+
+    init:    what the random-init denoiser head emits (scale exp(-2.3),
+             opacity sigmoid(-2) ~ 0.12) — huge rects (~100 tiles), weak
+             saturation.  This is what bench.py's random-weights model
+             produces.
+    trained: what converged pixel-aligned checkpoints emit — a surface
+             shell, screen-space size ~1.5 px (world scale = px * depth/f
+             at the orbit camera), opacity ~ sigmoid(1.0) = 0.73.  Rect
+             areas 1-4 tiles, front surface saturates transmittance in
+             ~10-20 entries.
+    """
     from open_diffusiongs_tpu.ops.gaussians import Gaussians
-    xyz = rng.uniform(-0.9, 0.9, size=(n, 3)).astype(np.float32)
+    if stats == "trained":
+        # points on a noisy shell of radius ~0.45 (inside the crop box)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+        r = (0.45 + 0.04 * rng.normal(size=(n, 1))).astype(np.float32)
+        xyz = d * r
+        f = 0.5 * res / np.tan(np.radians(40.0) / 2)     # orbit camera focal
+        world_px = 3.0 / f                               # depth ~ radius 3
+        scaling = (np.log(1.5 * world_px)
+                   + 0.3 * rng.normal(size=(n, 3))).astype(np.float32)
+        opacity = (1.0 + 0.5 * rng.normal(size=(n, 1))).astype(np.float32)
+    else:
+        xyz = rng.uniform(-0.9, 0.9, size=(n, 3)).astype(np.float32)
+        # raw (pre-activation) params, matching denoiser head init stats
+        scaling = rng.normal(-2.3, 0.1, size=(n, 3)).astype(np.float32)
+        opacity = rng.normal(-2.0, 0.3, size=(n, 1)).astype(np.float32)
     feats = rng.normal(0, 0.3, size=(n, 1, 3)).astype(np.float32)
-    # raw (pre-activation) params, matching denoiser head init stats
-    scaling = rng.normal(-2.3, 0.1, size=(n, 3)).astype(np.float32)
     rotation = rng.normal(0, 1, size=(n, 4)).astype(np.float32)
-    opacity = rng.normal(-2.0, 0.3, size=(n, 1)).astype(np.float32)
     return Gaussians(
         xyz=jnp.asarray(xyz)[None], features=jnp.asarray(feats)[None],
         scaling=jnp.asarray(scaling)[None],
@@ -93,6 +118,8 @@ def main():
     ap.add_argument("--big-per-tile", type=int, default=0)
     ap.add_argument("--early-exit", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--stats", choices=("init", "trained"), default="init")
+    ap.add_argument("--pallas", choices=("auto", "on", "off"), default="auto")
     args = ap.parse_args()
 
     from __graft_entry__ import _orbit_cameras
@@ -105,10 +132,12 @@ def main():
         max_tiles_per_gaussian=args.d, max_per_tile=args.k,
         blend_chunk=args.chunk, split_slots=args.split,
         big_select=args.big_select, big_per_tile=args.big_per_tile,
-        early_exit=args.early_exit, remat=not args.no_remat)
+        early_exit=args.early_exit, remat=not args.no_remat,
+        pallas_blend=args.pallas)
     tiles_x = tiles_y = -(-w // rasterize.TILE)
 
-    g = synth_gaussians(n, np.random.default_rng(0))
+    g = synth_gaussians(n, np.random.default_rng(0), stats=args.stats,
+                        res=args.res)
     c2ws, fxy = _orbit_cameras(args.render_views, h=h, w=w)
     c2w = jnp.asarray(c2ws)[None]
     fxy = jnp.asarray(fxy)[None]
@@ -205,6 +234,9 @@ def main():
     mg_s = n * args.render_views / t_full / 1e6
     print(json.dumps({
         "res": args.res, "n_gaussians": n, "D": args.d, "K": args.k,
+        "stats": args.stats, "split": args.split,
+        "early_exit": args.early_exit, "pallas": args.pallas,
+        "overflow_frac": round(ov_g / max(int(bins.entries), 1), 4),
         "preprocess_ms": round(t_pre * 1e3, 2),
         "bin_ms": round(t_bin * 1e3, 2),
         "blend_ms": round(t_blend * 1e3, 2),
