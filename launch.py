@@ -85,7 +85,13 @@ def main():
                        seed=cfg.seed)
 
     # --- system + optimizer ----------------------------------------------
-    system = build_system(cfg.system_type, cfg.system, bf16=bf16)
+    # trainer.model_parallel > 1 activates the dp x tp mesh: DiT width
+    # megatron-sharded on `model` (parallel/mesh.py::dit_tp_rule) with the
+    # attention kernel shard_mapped over it (models/transformer.py)
+    tp = int(trainer_cfg.get("model_parallel", 1))
+    mesh = make_mesh(model_parallel=tp)
+    system = build_system(cfg.system_type, cfg.system, bf16=bf16,
+                          tp_mesh=mesh if tp > 1 else None)
     opt_cfg = build_optimizer_config(cfg.system, trainer_cfg)
     tx = make_optimizer(opt_cfg)
 
@@ -109,8 +115,6 @@ def main():
         state = resume_mngr.restore(state)
         print(f"Resumed from {cfg.resume} at step {int(state.step)}")
 
-    mesh = make_mesh()
-
     if args.train:
         train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main)
     elif args.validate or args.test:
@@ -133,7 +137,8 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
     # global batch over ALL devices; the index stream is seeded identically
     # on every process so hosts agree on the global batch, and each host
     # loads only its local slice (mesh.local_batch_slice)
-    batch_size = int(cfg.data.get("batch_size", 4)) * jax.device_count()
+    n_data = mesh.shape.get("data", jax.device_count())
+    batch_size = int(cfg.data.get("batch_size", 4)) * n_data
     from open_diffusiongs_tpu.parallel.mesh import local_batch_slice
     loader = PrefetchLoader(
         dataset, batch_size=batch_size, shuffle=True,
@@ -142,7 +147,16 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
         process_slice=(local_batch_slice(batch_size)
                        if jax.process_count() > 1 else None))
 
-    step_fn = make_train_step(system.train_loss, tx, mesh=mesh)
+    state_sh = None
+    if mesh.shape.get("model", 1) > 1:
+        # shard params/EMA/optimizer moments per the megatron TP rule; the
+        # batch-size divisor is the DATA axis alone under tp
+        from open_diffusiongs_tpu.parallel.mesh import (
+            tensor_parallel_state_sharding)
+        state_sh = tensor_parallel_state_sharding(mesh, state)
+        state = jax.device_put(state, state_sh)
+    step_fn = make_train_step(system.train_loss, tx, mesh=mesh,
+                              state_shardings=state_sh)
     rng = jax.random.PRNGKey(cfg.seed + 1)
 
     writer = None

@@ -78,6 +78,9 @@ class DGSDenoiser(nn.Module):
     dtype: Dtype = jnp.float32          # compute dtype (bf16 on TPU)
     remat: bool = True
     attn_impl: str = "auto"   # 'flash' (TPU Pallas) | 'splash' | 'xla'
+    # dp x tp jax.sharding.Mesh: shard_map the attention kernel over the
+    # model axis (megatron column-parallel q/k/v; see models/transformer.py)
+    tp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,
@@ -129,7 +132,8 @@ class DGSDenoiser(nn.Module):
 
         x = DiTStack(self.width, self.width // self.dim_heads,
                      self.num_layers, dtype=self.dtype, remat=self.remat,
-                     attn_impl=self.attn_impl, name="transformer")(x, t_emb)
+                     attn_impl=self.attn_impl, tp_mesh=self.tp_mesh,
+                     name="transformer")(x, t_emb)
 
         g_out = x[:, :self.n_gaussians]
         img_out = x[:, self.n_gaussians:]

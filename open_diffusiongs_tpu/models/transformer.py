@@ -173,24 +173,49 @@ def resolve_attn_impl(impl: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int]):
+def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
+                      tp_mesh=None):
     """custom_vjp over the packed-layout flash kernel: primal forward is the
     packed kernel on [b, Lp, h*d]; the differentiated path runs splash on
-    the unpacked real rows (exact grads; pad-row grads are zero)."""
+    the unpacked real rows (exact grads; pad-row grads are zero; XLA
+    attention off-TPU so the sharded path is CPU-testable).
+
+    With `tp_mesh` (a dp x tp jax.sharding.Mesh) the whole thing is wrapped
+    in shard_map: batch on the data axis, the head-major channel axis on
+    the model axis.  Attention is embarrassingly parallel over heads, so
+    each shard runs the kernel (and its backward) on its own num_heads/tp
+    heads with ZERO collectives — the q/k/v projections are column-
+    parallel (parallel/mesh.py::dit_tp_rule) so their outputs arrive
+    already head-sharded, and the row-parallel out-projection supplies the
+    layer's single all-reduce.  This replaces the round-2 behavior where
+    XLA resolved the un-annotated pallas_call by all-gathering its
+    operands (docs/PERF_NOTES.md multi-chip note)."""
     from ..ops.attention import flash_mha_packed
+
+    inner_heads = num_heads
+    if tp_mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS
+        tp = tp_mesh.shape[MODEL_AXIS]
+        assert num_heads % tp == 0, (num_heads, tp)
+        inner_heads = num_heads // tp
+    interpret = jax.default_backend() != "tpu"
 
     @jax.custom_vjp
     def f(q, k, v):
-        return flash_mha_packed(q, k, v, num_heads=num_heads, l_real=l_real,
-                                blocks=blocks)
+        return flash_mha_packed(q, k, v, num_heads=inner_heads,
+                                l_real=l_real, blocks=blocks,
+                                interpret=interpret)
 
     def ref_fn(q, k, v):
         b, lp, hd = q.shape
-        dh = hd // num_heads
-        q4 = q[:, :l_real].reshape(b, l_real, num_heads, dh)
-        k4 = k[:, :l_real].reshape(b, l_real, num_heads, dh)
-        v4 = v[:, :l_real].reshape(b, l_real, num_heads, dh)
-        o4 = _splash_attention(q4 * dh ** -0.5, k4, v4)
+        dh = hd // inner_heads
+        q4 = q[:, :l_real].reshape(b, l_real, inner_heads, dh)
+        k4 = k[:, :l_real].reshape(b, l_real, inner_heads, dh)
+        v4 = v[:, :l_real].reshape(b, l_real, inner_heads, dh)
+        if jax.default_backend() == "tpu":
+            o4 = _splash_attention(q4 * dh ** -0.5, k4, v4)
+        else:
+            o4 = jax.nn.dot_product_attention(q4, k4, v4)
         return jnp.pad(o4.reshape(b, l_real, hd),
                        ((0, 0), (0, lp - l_real), (0, 0)))
 
@@ -202,7 +227,16 @@ def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int]):
         return vjp_fn(g)
 
     f.defvjp(fwd, bwd)
-    return f
+    if tp_mesh is None:
+        return f
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    spec = P(DATA_AXIS, None, MODEL_AXIS)
+    return shard_map(f, mesh=tp_mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)
 
 
 class RMSNorm(nn.Module):
@@ -223,6 +257,14 @@ class RMSNorm(nn.Module):
 class Attention(nn.Module):
     """timm-style multi-head self-attention (qkv bias, out-proj bias).
 
+    The reference fuses q/k/v into one [d, 3d] projection (timm layout);
+    here they are three separate Denses so tensor parallelism can shard
+    each on its head-major output axis (megatron column-parallel — a
+    fused [3d] axis cannot be head-aligned by any PartitionSpec).  The
+    checkpoint converter splits the fused torch weight at conversion time
+    (tools/convert_reference_ckpt.py), so published weights still convert
+    exactly (tests/test_golden_reference.py).
+
     qk_norm=True adds per-head RMSNorm on q and k — the reference's
     QK_Norm_SelfAttention variant (utils_transformer.py:533-584), unused by
     shipped configs but part of the capability surface."""
@@ -237,34 +279,43 @@ class Attention(nn.Module):
     # the packed-kernel block sizes.  Enables the zero-copy packed path.
     packed_l: Optional[int] = None
     packed_blocks: Optional[tuple] = None
+    # dp x tp mesh: shard the attention kernel over the model axis via
+    # shard_map (heads are embarrassingly parallel) instead of letting XLA
+    # all-gather the un-annotated pallas_call's operands.
+    tp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, l, d = x.shape
         head_dim = d // self.num_heads
-        qkv = nn.Dense(3 * d, use_bias=True, kernel_init=INIT,
-                       bias_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="qkv")(x)
+        dense = functools.partial(
+            nn.Dense, use_bias=True, kernel_init=INIT,
+            bias_init=nn.initializers.zeros, dtype=self.dtype)
+        q = dense(d, name="q")(x)
+        k = dense(d, name="k")(x)
+        v = dense(d, name="v")(x)
         impl = resolve_attn_impl(self.attn_impl)
+        tp = (1 if self.tp_mesh is None
+              else self.tp_mesh.shape["model"])
         if (impl == "flash" and self.packed_l is not None
                 and not self.qk_norm and head_dim <= 64
                 and 128 % head_dim == 0
-                and self.num_heads % (128 // head_dim) == 0):
+                and (self.num_heads // tp) % (128 // head_dim) == 0
+                and self.num_heads % tp == 0):
             # packed path: q/k/v stay [b, lp, h*d] end to end — no
             # transposes, no per-layer padding (ops/attention.py)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
             o = _make_packed_attn(self.num_heads, self.packed_l,
-                                  tuple(self.packed_blocks))(q, k, v)
+                                  tuple(self.packed_blocks),
+                                  tp_mesh=self.tp_mesh)(q, k, v)
         else:
             # If the stack pre-padded the token axis but this block cannot
             # take the packed path (qk_norm, odd head counts), the pad rows
             # must NOT participate as keys — slice to the real rows and pad
             # the output back.
             lr = self.packed_l if self.packed_l is not None else l
-            q, k, v = jnp.split(qkv[:, :lr], 3, axis=-1)
-            q = q.reshape(b, lr, self.num_heads, head_dim)
-            k = k.reshape(b, lr, self.num_heads, head_dim)
-            v = v.reshape(b, lr, self.num_heads, head_dim)
+            q = q[:, :lr].reshape(b, lr, self.num_heads, head_dim)
+            k = k[:, :lr].reshape(b, lr, self.num_heads, head_dim)
+            v = v[:, :lr].reshape(b, lr, self.num_heads, head_dim)
             if self.qk_norm:
                 q = RMSNorm(head_dim, name="q_norm")(q)
                 k = RMSNorm(head_dim, name="k_norm")(k)
@@ -314,6 +365,7 @@ class DiTBlock(nn.Module):
     qk_norm: bool = False     # DiTBlock_QK_Norm (utils_transformer.py:590-633)
     packed_l: Optional[int] = None
     packed_blocks: Optional[tuple] = None
+    tp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -327,7 +379,7 @@ class DiTBlock(nn.Module):
             self.hidden_size, self.num_heads, dtype=self.dtype,
             attn_impl=self.attn_impl, qk_norm=self.qk_norm,
             packed_l=self.packed_l, packed_blocks=self.packed_blocks,
-            name="attn")(attn_in)
+            tp_mesh=self.tp_mesh, name="attn")(attn_in)
         mlp_in = modulate(_norm_noaffine(x), shift_mlp, scale_mlp)
         x = x + gate_mlp[:, None, :] * Mlp(
             self.hidden_size, self.mlp_ratio, dtype=self.dtype,
@@ -351,6 +403,8 @@ class DiTStack(nn.Module):
     # 256^2 training config (the remat baseline already sits near the
     # ceiling) — enable on bigger-HBM parts only.
     remat_save_attn: bool = False
+    # dp x tp mesh for shard_map'd tensor-parallel attention (see Attention)
+    tp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -376,6 +430,7 @@ class DiTStack(nn.Module):
             attn_impl: str
             packed_l: Optional[int]
             packed_blocks: Optional[tuple]
+            tp_mesh: Optional[Any]
 
             @nn.compact
             def __call__(self, carry, _):
@@ -383,6 +438,7 @@ class DiTStack(nn.Module):
                              dtype=self.dtype, attn_impl=self.attn_impl,
                              packed_l=self.packed_l,
                              packed_blocks=self.packed_blocks,
+                             tp_mesh=self.tp_mesh,
                              name="block")(carry, c)
                 return y, None
 
@@ -401,6 +457,7 @@ class DiTStack(nn.Module):
             split_rngs={"params": True},
             length=self.num_layers,
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
-          self.attn_impl, packed_l, packed_blocks, name="layers")
+          self.attn_impl, packed_l, packed_blocks, self.tp_mesh,
+          name="layers")
         x, _ = scanned(x, None)
         return x if packed_l is None else x[:, :l]

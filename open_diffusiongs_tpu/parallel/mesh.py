@@ -63,16 +63,23 @@ def shard_batch(mesh: Mesh, batch):
 
 def dit_tp_rule(path_keys, leaf) -> P:
     """Megatron-style tensor-parallel PartitionSpec for one leaf of the
-    scanned DiT (params stacked [L, ...]): attention qkv / MLP fc1 split on
-    the output (head/hidden) dim, proj / fc2 on the input dim — XLA inserts
-    the all-reduces.  Anything unrecognized is replicated.  Applied by path
-    so it also shards matching optimizer-moment leaves.  (The reference has
-    no TP, SURVEY.md §2.3; this activates the reserved `model` axis.)"""
+    scanned DiT (params stacked [L, ...]): attention q/k/v (separate
+    column-parallel projections — a fused [3d] axis cannot be head-aligned,
+    models/transformer.py::Attention) / MLP fc1 split on the output
+    (head/hidden) dim, proj / fc2 on the input dim — XLA inserts the
+    all-reduces.  The head-sharded q/k/v outputs feed the shard_map'd
+    attention kernel directly (zero collectives around attention).
+    Anything unrecognized is replicated.  Applied by path so it also shards
+    matching optimizer-moment leaves.  (The reference has no TP, SURVEY.md
+    §2.3; this activates the reserved `model` axis.)"""
     j = "/".join(path_keys)
     nd = getattr(leaf, "ndim", 0)
-    if ("attn/qkv/kernel" in j or "mlp/fc1/kernel" in j) and nd == 3:
+    col = ("attn/q/kernel", "attn/k/kernel", "attn/v/kernel",
+           "mlp/fc1/kernel")
+    col_b = ("attn/q/bias", "attn/k/bias", "attn/v/bias", "mlp/fc1/bias")
+    if any(c in j for c in col) and nd == 3:
         return P(None, None, MODEL_AXIS)
-    if ("attn/qkv/bias" in j or "mlp/fc1/bias" in j) and nd == 2:
+    if any(c in j for c in col_b) and nd == 2:
         return P(None, MODEL_AXIS)
     if ("attn/proj/kernel" in j or "mlp/fc2/kernel" in j) and nd == 3:
         return P(None, MODEL_AXIS, None)

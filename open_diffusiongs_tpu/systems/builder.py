@@ -55,8 +55,13 @@ def shape_model_kwargs(cfg: Dict[str, Any], bf16: bool = True
 
 
 def build_system(system_type: str, system_cfg: Dict[str, Any],
-                 bf16: bool = True, raster: RasterizeConfig = None):
-    """system_type: 'diffusion-gs-system' | 'diffusion-gs-scene-system'."""
+                 bf16: bool = True, raster: RasterizeConfig = None,
+                 tp_mesh=None):
+    """system_type: 'diffusion-gs-system' | 'diffusion-gs-scene-system'.
+
+    tp_mesh: dp x tp jax.sharding.Mesh for tensor-parallel training — the
+    attention kernel is shard_mapped over the model axis (launch.py builds
+    it from trainer.model_parallel)."""
     import open_diffusiongs_tpu as pkg
     from .object_system import ObjectSystemConfig
     from .scene_system import SceneSystemConfig
@@ -65,6 +70,8 @@ def build_system(system_type: str, system_cfg: Dict[str, Any],
     loss = dict(cfg.get("loss", {}))
     noise = dict(cfg.get("noise_scheduler", {}))
     sm = shape_model_kwargs(cfg.get("shape_model", {}), bf16=bf16)
+    if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
+        sm["tp_mesh"] = tp_mesh
     if system_type == "diffusion-gs-scene-system":
         sm.setdefault("ray_pe_type", "plk")
         cfg_cls = SceneSystemConfig

@@ -162,3 +162,38 @@ def test_packed_huge_pad_garbage():
     out = np.asarray(out)[:, :l].reshape(b, l, h, dh)
     assert np.isfinite(out).all()
     assert np.abs(out - ref).max() < 2e-2
+
+
+def test_packed_attn_tp_shard_map_matches_unsharded():
+    """The shard_map'd tensor-parallel packed attention (model axis over
+    heads, models/transformer.py::_make_packed_attn) must equal the
+    unsharded kernel — forward AND gradients — on a dp x tp CPU mesh.
+    This is the interpret-mode stand-in for the real-TPU tp path (the
+    round-2 gap where XLA all-gathered the un-annotated pallas_call)."""
+    from open_diffusiongs_tpu.models.transformer import _make_packed_attn
+    from open_diffusiongs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4], model_parallel=2)   # dp=2 x tp=2
+    b, l, h, dh = 2, 200, 4, 64   # per-shard width 2*64=128 (kernel min)
+    lp, blocks = 512, (512, 512)
+    hd = h * dh
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, lp, hd)), jnp.float32)
+               for _ in range(3))
+
+    f_plain = _make_packed_attn(h, l, blocks)
+    f_tp = _make_packed_attn(h, l, blocks, tp_mesh=mesh)
+
+    out_plain = jax.jit(f_plain)(q, k, v)
+    out_tp = jax.jit(f_tp)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_tp)[:, :l],
+                               np.asarray(out_plain)[:, :l],
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(fn, q_):
+        return jnp.sum(fn(q_, k, v)[:, :l] ** 2)
+
+    g_plain = jax.jit(jax.grad(lambda q_: loss(f_plain, q_)))(q)
+    g_tp = jax.jit(jax.grad(lambda q_: loss(f_tp, q_)))(q)
+    np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_plain),
+                               atol=2e-5, rtol=1e-4)

@@ -123,11 +123,12 @@ def test_ckpt_converter_roundtrip(rng):
                         jnp.asarray([3]))
     loaded = load_converted_params(npz, params)
     # kernels transposed correctly: flax kernel [in, out] == torch weight.T
-    got = np.asarray(
-        loaded["params"]["transformer"]["layers"]["block"]["attn"]["qkv"]
-        ["kernel"][1])
-    np.testing.assert_allclose(got, sd["transformer.1.attn.qkv.weight"].T,
-                               rtol=1e-6)
+    attn = loaded["params"]["transformer"]["layers"]["block"]["attn"]
+    fused = sd["transformer.1.attn.qkv.weight"]      # [3d, d], q | k | v rows
+    for j, proj in enumerate("qkv"):
+        got = np.asarray(attn[proj]["kernel"][1])
+        np.testing.assert_allclose(
+            got, np.split(fused, 3, axis=0)[j].T, rtol=1e-6)
     # loaded params run
     g, _ = model.apply(loaded, imgs, rays, rays, jnp.asarray([3]))
     assert np.isfinite(np.asarray(g.xyz)).all()

@@ -105,9 +105,10 @@ def test_pretrained_roundtrip(tmp_path, rng):
     # pipeline params must equal the converted weights (via EMA copy)
     leaf = np.asarray(
         pipe.params["params"]["transformer"]["layers"]["block"]["attn"]
-        ["qkv"]["kernel"][1])
-    np.testing.assert_allclose(leaf, sd["transformer.1.attn.qkv.weight"].T,
-                               rtol=1e-6)
+        ["q"]["kernel"][1])
+    np.testing.assert_allclose(
+        leaf, np.split(sd["transformer.1.attn.qkv.weight"], 3, axis=0)[0].T,
+        rtol=1e-6)
     img = (rng.uniform(0, 255, (20, 20, 4))).astype(np.uint8)
     img[..., 3] = 255
     from PIL import Image

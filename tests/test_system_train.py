@@ -159,9 +159,9 @@ def test_tensor_parallel_train_step_matches(rng):
     state_sh = tensor_parallel_state_sharding(mesh, state2)
     state2 = jax.device_put(state2, state_sh)
     # verify something actually got sharded on the model axis
-    qkv = state2.params["params"]["transformer"]["layers"]["block"]["attn"][
-        "qkv"]["kernel"]
-    assert "model" in str(qkv.sharding.spec)
+    qk = state2.params["params"]["transformer"]["layers"]["block"]["attn"][
+        "q"]["kernel"]
+    assert "model" in str(qk.sharding.spec)
     step2 = make_train_step(sys_.train_loss, tx, mesh=mesh, ema_decay=None,
                             donate=False, state_shardings=state_sh)
     s2, m2 = step2(state2, shard_batch(mesh, batch), jax.random.PRNGKey(2))

@@ -11,8 +11,10 @@ open_diffusiongs_tpu.models.denoiser.DGSDenoiser:
   image_tokenizer.1.weight            ->  image_tokenizer/kernel
   gaussians_pos_embedding             ->  gaussians_pos_embedding
   transformer_input_layernorm.weight  ->  transformer_input_layernorm/scale
-  transformer.{i}.attn.qkv|proj.*     ->  transformer/layers/block/attn/*
-                                          (stacked on a leading layer axis)
+  transformer.{i}.attn.qkv.*          ->  transformer/layers/block/attn/
+                                          {q,k,v}/* (fused thirds split;
+                                          stacked on a leading layer axis)
+  transformer.{i}.attn.proj.*         ->  transformer/layers/block/attn/proj
   transformer.{i}.mlp.fc{1,2}.*       ->  .../mlp/fc{1,2}
   transformer.{i}.adaLN_modulation.1.* -> .../adaLN_modulation_1
   upsampler|image_token_decoder.{layernorm.weight, linear.weight,
@@ -60,9 +62,12 @@ _STATIC_MAP = {
 }
 
 _LAYER_RE = re.compile(r"^transformer\.(\d+)\.(.+)$")
+# the torch fused qkv ([3d, d] weight / [3d] bias, q|k|v thirds) is split
+# into the three separate column-parallel projections our Attention uses
+# (models/transformer.py) — handled specially in convert_state_dict
+_QKV_SPLIT = {"attn.qkv.weight": ("kernel", True),
+              "attn.qkv.bias": ("bias", False)}
 _LAYER_MAP = {
-    "attn.qkv.weight": ("attn/qkv/kernel", True),
-    "attn.qkv.bias": ("attn/qkv/bias", False),
     "attn.proj.weight": ("attn/proj/kernel", True),
     "attn.proj.bias": ("attn/proj/bias", False),
     "mlp.fc1.weight": ("mlp/fc1/kernel", True),
@@ -90,6 +95,14 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if m:
             i = int(m.group(1))
             sub = m.group(2)
+            if sub in _QKV_SPLIT:
+                leaf, transpose = _QKV_SPLIT[sub]
+                thirds = np.split(w, 3, axis=0)    # torch rows: q | k | v
+                for proj, ww in zip("qkv", thirds):
+                    path = f"attn/{proj}/{leaf}"
+                    layer_buf.setdefault(path, {})[i] = (
+                        ww.T if transpose else ww)
+                continue
             if sub not in _LAYER_MAP:
                 raise KeyError(f"unknown transformer sub-key {sub!r}")
             path, transpose = _LAYER_MAP[sub]
