@@ -172,6 +172,22 @@ def resolve_attn_impl(impl: str) -> str:
         if impl == "auto" else impl
 
 
+def subset_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     subset_size: Optional[int] = None,
+                     impl: str = "auto") -> jnp.ndarray:
+    """Asymmetric "subset" attention (SelfAttention.forward with
+    subset_attention_size, utils_transformer.py:145-207 / dit.py:138-199 —
+    defined by the reference but not called by any shipped config):
+    queries [0:s] attend only among keys [0:s]; queries [s:] attend over
+    ALL keys.  q/k/v: [b, l, h, d]."""
+    if subset_size is None or subset_size >= q.shape[1]:
+        return fused_attention(q, k, v, impl)
+    s = subset_size
+    head = fused_attention(q[:, :s], k[:, :s], v[:, :s], impl)
+    rest = fused_attention(q[:, s:], k, v, impl)
+    return jnp.concatenate([head, rest], axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
                       tp_mesh=None):

@@ -197,3 +197,28 @@ def test_packed_attn_tp_shard_map_matches_unsharded():
     g_tp = jax.jit(jax.grad(lambda q_: loss(f_tp, q_)))(q)
     np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_plain),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_subset_attention_semantics():
+    """subset_attention (the reference's subset_attention_size variant):
+    queries [0:s] see only keys [0:s]; queries [s:] see everything."""
+    from open_diffusiongs_tpu.models.transformer import subset_attention
+    rng = np.random.default_rng(2)
+    b, l, h, d, s = 1, 24, 2, 16, 9
+    q, k, v = (jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+               for _ in range(3))
+    out = np.asarray(subset_attention(q, k, v, subset_size=s, impl="xla"))
+
+    def ref_slice(qs, ks, vs):
+        sc = np.einsum("blhd,bmhd->bhlm", qs, ks) / np.sqrt(d)
+        p = np.exp(sc - sc.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        return np.einsum("bhlm,bmhd->blhd", p, vs)
+
+    qn, kn, vn = map(np.asarray, (q, k, v))
+    ref = np.concatenate([ref_slice(qn[:, :s], kn[:, :s], vn[:, :s]),
+                          ref_slice(qn[:, s:], kn, vn)], axis=1)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # s >= l degenerates to full attention
+    full = np.asarray(subset_attention(q, k, v, subset_size=l, impl="xla"))
+    np.testing.assert_allclose(full, ref_slice(qn, kn, vn), atol=2e-5)
