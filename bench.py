@@ -93,10 +93,12 @@ def bench_sample(h, w, n_views=4, steps=30, scene=False):
     return min(times), compile_s
 
 
-def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
-    """One-chip training throughput at b=1 (the per-chip unit of the
-    reference's 4/GPU x 8 GPU recipe, configs/diffusionGS_rel.yaml:14).
-    Returns (ms_per_step, samples_per_sec_chip)."""
+def bench_train_step(h, w, n_views=4, sup_views=4, iters=8, b=1,
+                     scene=False):
+    """One-chip training throughput (the per-chip unit of the reference's
+    4/GPU x 8 GPU object recipe, configs/diffusionGS_rel.yaml:14, and the
+    12/GPU scene recipe, diffusionGS_scene_512.yaml:16).
+    Returns (ms_per_step, samples_per_sec_chip, mfu_pct)."""
     from __graft_entry__ import _orbit_cameras
     from open_diffusiongs_tpu.parallel.train_step import (
         OptimizerConfig, init_train_state, make_optimizer, make_train_step)
@@ -104,7 +106,7 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
     # remat=True: training without activation rematerialization OOMs at
     # 24 layers (the reference trains with gradient checkpointing too,
     # configs/diffusionGS_rel.yaml gradient_checkpointing)
-    system = _make_system(h, w, remat=True)
+    system = _make_system(h, w, remat=True, scene=scene)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     tx = make_optimizer(OptimizerConfig(lr=1e-5))
     state = init_train_state(params, tx, ema_decay=0.9999)
@@ -113,18 +115,20 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
 
     c2ws, fxy = _orbit_cameras(max(n_views, sup_views), h=h, w=w)
     rng = np.random.default_rng(0)
+    bc = lambda a, shape: jnp.asarray(  # noqa: E731
+        np.broadcast_to(a, shape).copy())
     batch = {
         "rgbs_input": jnp.asarray(
-            rng.uniform(size=(1, n_views, 3, h, w)), jnp.float32),
-        "c2ws_input": jnp.asarray(c2ws[:n_views])[None],
-        "fxfycxcys_input": jnp.asarray(fxy[:n_views])[None],
-        "depths_input": jnp.full((1, n_views, 1, h, w), 3.0),
-        "masks_input": jnp.ones((1, n_views, 1, h, w)),
+            rng.uniform(size=(b, n_views, 3, h, w)), jnp.float32),
+        "c2ws_input": bc(c2ws[:n_views], (b, n_views, 4, 4)),
+        "fxfycxcys_input": bc(fxy[:n_views], (b, n_views, 4)),
+        "depths_input": jnp.full((b, n_views, 1, h, w), 3.0),
+        "masks_input": jnp.ones((b, n_views, 1, h, w)),
         "rgbs": jnp.asarray(
-            rng.uniform(size=(1, sup_views, 3, h, w)), jnp.float32),
-        "c2ws": jnp.asarray(c2ws[:sup_views])[None],
-        "fxfycxcys": jnp.asarray(fxy[:sup_views])[None],
-        "masks": jnp.ones((1, sup_views, 1, h, w)),
+            rng.uniform(size=(b, sup_views, 3, h, w)), jnp.float32),
+        "c2ws": bc(c2ws[:sup_views], (b, sup_views, 4, 4)),
+        "fxfycxcys": bc(fxy[:sup_views], (b, sup_views, 4)),
+        "masks": jnp.ones((b, sup_views, 1, h, w)),
     }
     key = jax.random.PRNGKey(7)
     state, metrics = step(state, batch, key)     # compile
@@ -134,7 +138,14 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8):
         state, metrics = step(state, batch, key)
     float(metrics["loss"])
     dt = (time.time() - t0) / iters
-    return dt * 1e3, 1.0 / dt
+    # DiT-only train-step MFU lower bound (rasterizer/head flops excluded):
+    # forward = layers * (dense 2*L*18d^2 + attention 4*L^2*d) per batch
+    # element, x4 for backward (~2x) + full-remat recompute (~1x)
+    d, layers = 1024, 24
+    L = 2 + n_views * (h // 8) * (w // 8)
+    f_fwd = layers * (2.0 * L * 18 * d * d + 4.0 * L * L * d)
+    mfu = 100 * (4.0 * f_fwd * b) / dt / 197e12
+    return dt * 1e3, b / dt, mfu
 
 
 def bench_attention(l=16386, heads=16, dim=64, iters=20):
@@ -259,11 +270,42 @@ def main():
 
     if h == 256 and not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
-            ms, sps = bench_train_step(h, w)
+            ms, sps, mfu = bench_train_step(h, w)
             out["train_step_ms_b1"] = round(ms, 1)
             out["train_samples_per_sec_chip"] = round(sps, 3)
+            out["train_mfu_pct_dit_only"] = round(mfu, 1)
         except Exception as ex:  # noqa: BLE001
             out["error_train"] = str(ex)[:200]
+        print(json.dumps(out), flush=True)
+
+        # capacity: does b=2 fit one v5e-16GB chip? (reference object recipe
+        # is 4/GPU on A100-80GB; optax MultiSteps accumulation covers the
+        # effective batch when it does not — parallel/train_step.py)
+        try:
+            ms2, sps2, _ = bench_train_step(h, w, b=2, iters=4)
+            out["train_step_ms_b2"] = round(ms2, 1)
+            out["train_b2_samples_per_sec_chip"] = round(sps2, 3)
+        except Exception as ex:  # noqa: BLE001
+            out["train_b2_oom"] = "RESOURCE_EXHAUSTED" in str(ex) or None
+            out["error_train_b2"] = str(ex)[:160]
+        print(json.dumps(out), flush=True)
+
+        try:  # scene-family train step (1 cond + 3 gen views, RE10K shape)
+            ms_sc, _, _ = bench_train_step(h, w, scene=True, iters=4)
+            out["scene_train_step_ms_b1"] = round(ms_sc, 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_scene_train"] = str(ex)[:160]
+
+    print(json.dumps(out), flush=True)
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_SCENE512"):
+        try:  # scene model at 512^2 (configs/diffusionGS_scene_512.yaml)
+            best_s5, compile_s5 = bench_sample(512, 512, n_views, steps,
+                                               scene=True)
+            out["scene_image_to_3d_seconds_512"] = round(best_s5, 3)
+            out["scene_compile_512_s"] = round(compile_s5, 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_scene512"] = str(ex)[:160]
 
     print(json.dumps(out))
 

@@ -140,6 +140,72 @@ def pick_packed_blocks(l: int) -> tuple[int, int]:
     return plan_packed(l)[1]
 
 
+def _fwd_kernel_packed_smax(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr,
+                            q_scr, v1_scr, *, nkv: int, bkv: int,
+                            l_real: int, masked: bool, scale: float,
+                            dh: int, hps: int):
+    """Packed kernel with a BLOCK-SCALAR flash recurrence: the running max
+    is one scalar per (q-block, head) instead of per row.  This removes
+    the per-element work of the row-max path (the [bq, 128] m tile
+    materialize + per-row rescale) — the VPU inner loop drops to one
+    scalar-subtract + one exp2 per score element, plus the unavoidable
+    block max reduction.
+
+    Numerics: with a shared scale M, p_ij = 2^(s_ij - M) and the row
+    denominator share the same factor, so softmax ratios are exact in
+    infinite precision; in f32 a row only degrades if its entire score
+    range sits >~126 below the block max (p underflows to 0), which no
+    real activation distribution approaches (scores span ~tens).  Pad
+    rows keep the exact validity-column algebra.  Parity is asserted at
+    2e-2 in bf16 against XLA attention (tests/test_attention.py)."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        for s in range(hps):
+            m_scr[0, s] = jnp.float32(-1e30)   # SMEM: scalar stores only
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        q_scr[...] = (q_ref[...].astype(jnp.float32)
+                      * scale).astype(q_scr.dtype)
+
+    v = v_ref[...]                                  # [bkv, hps*dh]
+    k_blk = k_ref[...]
+    if masked:
+        rows = lax.broadcasted_iota(jnp.int32, (bkv, 1), 0) + j * bkv
+        keep = rows < l_real
+        v = jnp.where(keep, v, 0)
+        k_blk = jnp.where(keep, k_blk, 0)
+        valid = jnp.broadcast_to(keep.astype(v.dtype), (bkv, 128 - dh))
+    else:
+        valid = jnp.ones((bkv, 128 - dh), v.dtype)
+    for s in range(hps):
+        v1_scr[:, s * 128: s * 128 + dh] = v[:, s * dh:(s + 1) * dh]
+        v1_scr[:, s * 128 + dh:(s + 1) * 128] = valid
+
+    for s in range(hps):
+        hc = slice(s * dh, (s + 1) * dh)
+        qk = lax.dot_general(q_scr[:, hc], k_blk[:, hc], _NT,
+                             preferred_element_type=jnp.float32)
+        mc = slice(s * 128, (s + 1) * 128)
+        m_prev = m_scr[0, s]
+        m_next = jnp.maximum(m_prev, jnp.max(qk))   # scalar
+        p = jnp.exp2(qk - m_next)
+        alpha = jnp.exp2(m_prev - m_next)           # scalar
+        o_curr = lax.dot_general(
+            p, v1_scr[:, mc].astype(jnp.float32), _NN,
+            preferred_element_type=jnp.float32)
+        m_scr[0, s] = m_next
+        acc_scr[:, mc] = acc_scr[:, mc] * alpha + o_curr
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        for s in range(hps):
+            acc = acc_scr[:, s * 128:(s + 1) * 128]
+            l = jnp.maximum(acc[:, dh:dh + 1], 1e-30)
+            o_ref[:, s * dh:(s + 1) * dh] = (acc[:, :dh] / l
+                                             ).astype(o_ref.dtype)
+
+
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
                        v1_scr, *, nkv: int, bkv: int, l_real: int,
                        masked: bool, scale: float, dh: int, hps: int):
@@ -208,6 +274,7 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
 def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
                      blocks: tuple[int, int] | None = None,
                      group_cols: int | None = None,
+                     scalar_max: bool = False,
                      interpret: bool = False):
     """Full MHA on the packed layout.  q/k/v: [b, Lp, h*d_h] with head-major
     columns (column h*d_h + c is head h, channel c) and Lp already padded to
@@ -232,9 +299,12 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
     nq, nkv = lp // bq, lp // bkv
     groups = num_heads // hps
 
+    body = _fwd_kernel_packed_smax if scalar_max else _fwd_kernel_packed
     kern = functools.partial(
-        _fwd_kernel_packed, nkv=nkv, bkv=bkv, l_real=l_real,
+        body, nkv=nkv, bkv=bkv, l_real=l_real,
         masked=lp > l_real, scale=dh ** -0.5 * LOG2E, dh=dh, hps=hps)
+    m_scratch = (pltpu.SMEM((1, hps), jnp.float32) if scalar_max
+                 else pltpu.VMEM((bq, 128 * hps), jnp.float32))
 
     def run(qi, ki, vi):
         return pl.pallas_call(
@@ -248,7 +318,7 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
             out_specs=pl.BlockSpec((bq, gc), lambda g, i, j: (i, g)),
             out_shape=jax.ShapeDtypeStruct((lp, hd), qi.dtype),
             scratch_shapes=[
-                pltpu.VMEM((bq, 128 * hps), jnp.float32),
+                m_scratch,
                 pltpu.VMEM((bq, 128 * hps), jnp.float32),
                 pltpu.VMEM((bq, gc), qi.dtype),
                 pltpu.VMEM((bkv, 128 * hps), vi.dtype),

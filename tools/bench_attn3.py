@@ -1,7 +1,8 @@
 """Packed-kernel sweep: blocks x group_cols at both DiT lengths.
 
 Usage: python tools/bench_attn3.py [--l 4098] [--iters 30]
-Specs via ATTN_SPECS="bq:bkv:pad:gc,..." (pad = lcm the length is padded to).
+Specs via ATTN_SPECS="bq:bkv:pad:gc[:smax],..." (pad = lcm the length is
+padded to; smax=1 uses the block-scalar flash recurrence).
 """
 
 from __future__ import annotations
@@ -57,18 +58,20 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
     for spec in specs.split(","):
-        bq, bkv, pad, gc = (int(x) for x in spec.split(":"))
+        parts = [int(x) for x in spec.split(":")]
+        bq, bkv, pad, gc = parts[:4]
+        smax = bool(parts[4]) if len(parts) > 4 else False
         lp = -(-args.l // pad) * pad
         q, k, v = (jnp.asarray(rng.normal(size=(1, lp, h * d)), jnp.bfloat16)
                    for _ in range(3))
         flops = 4.0 * args.l * args.l * h * d
-        name = f"bq{bq}_bkv{bkv}_gc{gc}"
+        name = f"bq{bq}_bkv{bkv}_gc{gc}" + ("_smax" if smax else "")
         try:
             t = loop_timed(
-                lambda e, q=q, k=k, v=v, bq=bq, bkv=bkv, gc=gc:
+                lambda e, q=q, k=k, v=v, bq=bq, bkv=bkv, gc=gc, sm=smax:
                 flash_mha_packed(q + e.astype(q.dtype), k, v, num_heads=h,
                                  l_real=args.l, blocks=(bq, bkv),
-                                 group_cols=gc),
+                                 group_cols=gc, scalar_max=sm),
                 iters=args.iters)
         except Exception as ex:  # noqa: BLE001
             results[name] = f"error: {str(ex)[:100]}"

@@ -1,0 +1,91 @@
+"""The [T, K, 10] candidate-row gather, isolated: XLA variants on TPU.
+
+The blend's row gather (packed[idx], ~1M indices at 512^2/K=1024) is
+latency-bound (~10-14 ms/view, PERF_NOTES lesson 1).  This sweeps the
+cheap XLA-level alternatives before any kernel work:
+
+  plain        packed[idx]
+  promise      packed.at[idx].get(mode='promise_in_bounds')  (no clamping)
+  fill         jnp.take(..., mode='fill')
+  cols_split   two half-width gathers (tests width-dependence)
+  rows_i32     gather of a [N] int32 (tests element-size-dependence)
+  one_hot_mxu  tiny one-hot matmul per tile (MXU instead of gather)
+
+Usage: python tools/bench_gather.py [--n 1048576] [--t 1024] [--k 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def loop_timed(make_fn, iters=20):
+    @jax.jit
+    def run():
+        def body(carry, _):
+            out = make_fn(carry)
+            s = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
+            return 0.0 * s, None
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run())
+    t0 = time.time()
+    r = float(run())
+    assert r == r
+    return (time.time() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1048576)
+    ap.add_argument("--t", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.normal(size=(args.n, 10)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, args.n, (args.t, args.k)), jnp.int32)
+    ivec = jnp.asarray(rng.normal(size=(args.n,)), jnp.float32)
+
+    results = {}
+
+    def rec(name, fn):
+        try:
+            t = loop_timed(fn, iters=args.iters)
+            results[name] = round(t * 1e3, 2)
+        except Exception as ex:  # noqa: BLE001
+            results[name] = f"error: {str(ex)[:80]}"
+        print(name, results[name], flush=True)
+
+    rec("plain", lambda e: packed[idx] + e)
+    rec("promise", lambda e: packed.at[idx].get(
+        mode="promise_in_bounds") + e)
+    rec("fill", lambda e: jnp.take(packed + e, idx, axis=0,
+                                   mode="fill", fill_value=0.0))
+    rec("cols_split", lambda e: (packed[..., :5][idx] + e,
+                                 packed[..., 5:][idx]))
+    rec("rows_f32_1col", lambda e: ivec[idx] + e)
+    rec("sorted_flat", lambda e: (packed + e)[
+        jnp.sort(idx.reshape(-1)).reshape(args.t, args.k)])
+
+    print(json.dumps({"n": args.n, "t": args.t, "k": args.k,
+                      "results": results,
+                      "device": str(jax.devices()[0])}))
+
+
+if __name__ == "__main__":
+    main()

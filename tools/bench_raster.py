@@ -120,6 +120,8 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--stats", choices=("init", "trained"), default="init")
     ap.add_argument("--pallas", choices=("auto", "on", "off"), default="auto")
+    ap.add_argument("--quick", action="store_true",
+                    help="phases + full render only (skip sort microbenches)")
     args = ap.parse_args()
 
     from __graft_entry__ import _orbit_cameras
@@ -170,62 +172,73 @@ def main():
         lambda e: blend_fn(pre._replace(xy=pre.xy + e), bins),
         iters=args.iters)
 
-    # sub-phases of bin: the N-element depth pre-sort and the N*D key sort
-    n_idx = jnp.arange(n, dtype=jnp.int32)
-    t_depthsort = loop_timed(
-        lambda e: jax.lax.sort((pre.depth + e, n_idx), num_keys=1,
-                               is_stable=True),
-        iters=args.iters)
-    key_demo = jnp.arange(n * args.d, dtype=jnp.uint32)
-    t_keysort = loop_timed(
-        lambda e: jax.lax.sort(key_demo ^ jnp.uint32(e), is_stable=False),
-        iters=args.iters)
+    # the [T, K, 10] candidate-row gather inside the blend, alone
+    packed = jnp.concatenate(
+        [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
+         pre.depth[:, None]], axis=-1)
+    gather_fn = jax.jit(lambda pk, ix: pk[ix])
+    t_gather = loop_timed(
+        lambda e: gather_fn(packed + e, bins.idx), iters=args.iters)
 
-    # bin-internal breakdown: key construction (rect -> [D, N] tile rows ->
-    # packed keys) vs sorting the REAL keys vs range-recovery+gather
-    rank_bits = max(1, (n - 1).bit_length())
-    num_tiles = tiles_x * tiles_y
+    if args.quick:
+        t_depthsort = t_keysort = t_mkkeys = t_realsort = t_recover = 0.0
+    else:
+        # sub-phases of bin: the N-element depth pre-sort and the N*D key sort
+        n_idx = jnp.arange(n, dtype=jnp.int32)
+        t_depthsort = loop_timed(
+            lambda e: jax.lax.sort((pre.depth + e, n_idx), num_keys=1,
+                                   is_stable=True),
+            iters=args.iters)
+        key_demo = jnp.arange(n * args.d, dtype=jnp.uint32)
+        t_keysort = loop_timed(
+            lambda e: jax.lax.sort(key_demo ^ jnp.uint32(e), is_stable=False),
+            iters=args.iters)
 
-    def make_keys(p):
-        d_slots = cfg.max_tiles_per_gaussian
-        _, order = jax.lax.sort(
-            (p.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
-            is_stable=True)
-        rect_d = p.rect[order]
-        x0, y0 = rect_d[:, 0], rect_d[:, 1]
-        rw = rect_d[:, 2] - x0
-        rh = rect_d[:, 3] - y0
-        tile_rows = rasterize._emit_tile_rows(
-            x0, y0, rw, rw * rh, p.valid[order], d_slots, 0, tiles_x,
-            num_tiles)
-        rank = jnp.arange(n, dtype=jnp.uint32)
-        key = ((tile_rows.astype(jnp.uint32) << rank_bits)
-               | rank[None, :]).reshape(-1)
-        return key, order
+        # bin-internal breakdown: key construction (rect -> [D, N] tile rows ->
+        # packed keys) vs sorting the REAL keys vs range-recovery+gather
+        rank_bits = max(1, (n - 1).bit_length())
+        num_tiles = tiles_x * tiles_y
 
-    keys_fn = jax.jit(make_keys)
-    real_key, order_v = keys_fn(pre)
-    t_mkkeys = loop_timed(
-        lambda e: keys_fn(pre._replace(depth=pre.depth + e))[0],
-        iters=args.iters)
-    t_realsort = loop_timed(
-        lambda e: jax.lax.sort(real_key ^ jnp.uint32(e), is_stable=False),
-        iters=args.iters)
-    key_sorted = jax.jit(lambda kk: jax.lax.sort(kk, is_stable=False))(
-        real_key)
+        def make_keys(p):
+            d_slots = cfg.max_tiles_per_gaussian
+            _, order = jax.lax.sort(
+                (p.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+                is_stable=True)
+            rect_d = p.rect[order]
+            x0, y0 = rect_d[:, 0], rect_d[:, 1]
+            rw = rect_d[:, 2] - x0
+            rh = rect_d[:, 3] - y0
+            tile_rows = rasterize._emit_tile_rows(
+                x0, y0, rw, rw * rh, p.valid[order], d_slots, 0, tiles_x,
+                num_tiles)
+            rank = jnp.arange(n, dtype=jnp.uint32)
+            key = ((tile_rows.astype(jnp.uint32) << rank_bits)
+                   | rank[None, :]).reshape(-1)
+            return key, order
 
-    def recover(kk, order_):
-        tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
-        bounds = jnp.searchsorted(kk, tids, side="left").astype(jnp.int32)
-        key_g = rasterize._row_gather(kk, bounds[:-1], cfg.max_per_tile,
-                                      jnp.uint32(0xFFFFFFFF))
-        rank_g = (key_g & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
-        return order_[jnp.minimum(rank_g, n - 1)]
+        keys_fn = jax.jit(make_keys)
+        real_key, order_v = keys_fn(pre)
+        t_mkkeys = loop_timed(
+            lambda e: keys_fn(pre._replace(depth=pre.depth + e))[0],
+            iters=args.iters)
+        t_realsort = loop_timed(
+            lambda e: jax.lax.sort(real_key ^ jnp.uint32(e), is_stable=False),
+            iters=args.iters)
+        key_sorted = jax.jit(lambda kk: jax.lax.sort(kk, is_stable=False))(
+            real_key)
 
-    rec_fn = jax.jit(recover)
-    t_recover = loop_timed(
-        lambda e: rec_fn(key_sorted ^ jnp.uint32(e), order_v),
-        iters=args.iters)
+        def recover(kk, order_):
+            tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
+            bounds = jnp.searchsorted(kk, tids, side="left").astype(jnp.int32)
+            key_g = rasterize._row_gather(kk, bounds[:-1], cfg.max_per_tile,
+                                          jnp.uint32(0xFFFFFFFF))
+            rank_g = (key_g & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
+            return order_[jnp.minimum(rank_g, n - 1)]
+
+        rec_fn = jax.jit(recover)
+        t_recover = loop_timed(
+            lambda e: rec_fn(key_sorted ^ jnp.uint32(e), order_v),
+            iters=args.iters)
 
     t_full = timed(render_fn, tuple(g), c2w, fxy, iters=max(3, args.iters // 4))
 
@@ -240,6 +253,7 @@ def main():
         "preprocess_ms": round(t_pre * 1e3, 2),
         "bin_ms": round(t_bin * 1e3, 2),
         "blend_ms": round(t_blend * 1e3, 2),
+        "gather_ms": round(t_gather * 1e3, 2),
         "depth_presort_ms": round(t_depthsort * 1e3, 2),
         "key_sort_ms": round(t_keysort * 1e3, 2),
         "make_keys_ms": round(t_mkkeys * 1e3, 2),
