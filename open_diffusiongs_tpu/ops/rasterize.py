@@ -487,7 +487,14 @@ def _tile_pixel_centers(tiles_x: int, tiles_y: int) -> jnp.ndarray:
 
 def _prep_pallas_inputs(packed, idx, mask):
     """Gather + mask-fold + pad the per-tile candidate rows for the Pallas
-    blend kernels.  Returns (g [T, Kp, 10], counts [T])."""
+    blend kernels.  Returns (g [T, Kp, 10], counts [T]).
+
+    The barrier forces `packed` (a concat of 7 preprocess outputs) to
+    materialize as one [N, 10] array BEFORE the row gather — otherwise XLA
+    fuses the concat into the gather, multiplying the random-access passes
+    (measured: the isolated gather from a materialized table runs ~1-2 ms
+    vs ~9 ms in context at 512^2/K=1024, tools/bench_gather.py)."""
+    packed = jax.lax.optimization_barrier(packed)
     g = packed[idx]                                         # [T, K, 10]
     opa = g[..., 8] * mask                                  # fold bin mask
     g = jnp.concatenate([g[..., :8], opa[..., None], g[..., 9:]], axis=-1)
