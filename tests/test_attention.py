@@ -258,3 +258,52 @@ def test_packed_scalar_max_large_scores():
     out = np.asarray(out)[:, :l].reshape(b, l, h, dh)
     assert np.isfinite(out).all()
     assert np.abs(out - ref).max() < 2e-2
+
+
+def test_packed_tp_through_dit_stack(monkeypatch):
+    """TP integration: the shard_map'd packed attention composed with
+    nn.scan + remat + custom_vjp through a DiTStack — forward AND grads on
+    a dp x tp CPU mesh must match the unsharded stack."""
+    import functools as ft
+
+    from open_diffusiongs_tpu.models import transformer as tr
+    from open_diffusiongs_tpu.ops import attention as at
+    from open_diffusiongs_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(tr, "resolve_attn_impl",
+                        lambda impl: "flash" if impl == "auto" else impl)
+    monkeypatch.setattr(at, "flash_mha_packed",
+                        ft.partial(at.flash_mha_packed, interpret=True))
+    tr._make_packed_attn.cache_clear()
+
+    mesh = make_mesh(jax.devices()[:4], model_parallel=2)
+    b, l, d, heads, layers = 2, 70, 256, 4, 2   # 2 heads/shard = 128 cols
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+
+    plain = tr.DiTStack(hidden_size=d, num_heads=heads, num_layers=layers,
+                        remat=True, attn_impl="auto")
+    tp = tr.DiTStack(hidden_size=d, num_heads=heads, num_layers=layers,
+                     remat=True, attn_impl="auto", tp_mesh=mesh)
+    params = plain.init(jax.random.PRNGKey(0), x, c)
+
+    out_plain = plain.apply(params, x, c)
+    with mesh:
+        out_tp = jax.jit(tp.apply)(params, x, c)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_plain),
+                               atol=2e-4, rtol=1e-3)
+
+    def loss(p, module):
+        return jnp.sum(module.apply(p, x, c) ** 2)
+
+    g_plain = jax.grad(loss)(params, plain)
+    with mesh:
+        g_tp = jax.jit(lambda p: jax.grad(loss)(p, tp))(params)
+    for (ka, a), (kb, bb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_tp)[0],
+            jax.tree_util.tree_flatten_with_path(g_plain)[0]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=2e-4, rtol=1e-2,
+            err_msg=str(ka))
+    tr._make_packed_attn.cache_clear()
