@@ -43,9 +43,15 @@ class GSPipelineOutput:
 def remove_background(img: np.ndarray) -> np.ndarray:
     """[h, w, 3] uint8 -> alpha [h, w] float in [0, 1].
 
-    Heuristic stand-in for rembg (pipline_obj.py:256-261): pixels close to
-    the median border color are background.
+    rembg stand-in (pipline_obj.py:256-261, learned u2net weights need
+    egress): from-scratch GrabCut — border-seeded GMM color models + graph
+    min-cut (utils/matting.py + native/matting.cpp) — which handles
+    textured backgrounds, not just studio shots.  Falls back to the
+    median-border-color heuristic if the native solver is not built.
     """
+    from .utils import matting
+    if matting.available():
+        return matting.grabcut_alpha(img)
     border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], axis=0)
     bg = np.median(border.reshape(-1, 3), axis=0)
     dist = np.linalg.norm(img.astype(np.float32) - bg[None, None], axis=-1)
