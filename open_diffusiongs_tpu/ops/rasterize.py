@@ -486,28 +486,38 @@ def _tile_pixel_centers(tiles_x: int, tiles_y: int) -> jnp.ndarray:
 
 
 def _prep_pallas_inputs(packed, idx, mask):
-    """Gather + mask-fold + pad the per-tile candidate rows for the Pallas
-    blend kernels.  Returns (g [T, Kp, 10], counts [T]).
+    """Gather the per-tile candidate rows for the Pallas blend kernels.
+    Returns (g [T, Kp, 10], counts [T], idxm [T, Kp]).
+
+    Mask-fold and K->Kp padding are folded INTO the gather indices: the
+    candidate table gets one all-zero sentinel row at index N and every
+    masked/padded slot points at it.  A zero attribute row blends to
+    nothing (opacity 0 < ALPHA_MIN -> CUDA skip, forward.cu:345), so the
+    kernels need no separate mask pass — this removes two full [T, Kp, 10]
+    elementwise round-trips (mask-fold concat + pad) that used to follow
+    the gather, and the returned idxm doubles as the deterministic
+    scatter-add target map for the analytic backward.
 
     The barrier forces `packed` (a concat of 7 preprocess outputs) to
-    materialize as one [N, 10] array BEFORE the row gather — otherwise XLA
-    fuses the concat into the gather, multiplying the random-access passes
-    (measured: the isolated gather from a materialized table runs ~1-2 ms
-    vs ~9 ms in context at 512^2/K=1024, tools/bench_gather.py)."""
-    packed = jax.lax.optimization_barrier(packed)
-    g = packed[idx]                                         # [T, K, 10]
-    opa = g[..., 8] * mask                                  # fold bin mask
-    g = jnp.concatenate([g[..., :8], opa[..., None], g[..., 9:]], axis=-1)
-    K = g.shape[1]
+    materialize as one [N+1, 10] array BEFORE the row gather — otherwise
+    XLA fuses the concat into the gather, multiplying the random-access
+    passes (measured: the isolated gather from a materialized table runs
+    ~1-2 ms vs ~9 ms in context at 512^2/K=1024, tools/bench_gather.py)."""
+    n = packed.shape[0]
+    packed = jax.lax.optimization_barrier(
+        jnp.pad(packed, ((0, 1), (0, 0))))                  # sentinel row N
+    K = idx.shape[1]
     kp = -(-K // 128) * 128
+    idxm = jnp.where(mask, idx, n)
     if kp != K:
-        g = jnp.pad(g, ((0, 0), (0, kp - K), (0, 0)))
+        idxm = jnp.pad(idxm, ((0, 0), (0, kp - K)), constant_values=n)
+    g = packed[idxm]                                        # [T, Kp, 10]
     # chunk-level early exit wants the index one past the LAST set mask bit
     # (robust even if the mask is not a contiguous prefix)
     any_m = mask.any(axis=1)
     last = K - jnp.argmax(mask[:, ::-1].astype(jnp.int32), axis=1)
     counts = jnp.where(any_m, last, 0).astype(jnp.int32)
-    return g, counts
+    return g, counts, idxm
 
 
 def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
@@ -515,7 +525,7 @@ def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
     Same (t_fin, acc_c, acc_d) contract as the XLA scan core."""
     from .blend_kernel import blend_tiles_pallas
 
-    g, counts = _prep_pallas_inputs(packed, idx, mask)
+    g, counts, _ = _prep_pallas_inputs(packed, idx, mask)
     return blend_tiles_pallas(g, counts, tiles_x, interpret=interpret)
 
 
@@ -538,14 +548,14 @@ def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
         from .blend_kernel import PPT, blend_bwd_pallas, blend_tiles_pallas
 
         def fwd(packed, idx, mask):
-            g, counts = _prep_pallas_inputs(packed, idx, mask)
+            g, counts, idxm = _prep_pallas_inputs(packed, idx, mask)
             t_fin, acc_c, acc_d = blend_tiles_pallas(
                 g, counts, tiles_x, interpret=interpret)
-            return (t_fin, acc_c, acc_d), (packed, idx, mask, g, counts,
+            return (t_fin, acc_c, acc_d), (packed, idxm, g, counts,
                                            t_fin, acc_c, acc_d)
 
         def bwd(res, cot):
-            packed, idx, mask, g, counts, t_fin, acc_c, acc_d = res
+            packed, idxm, g, counts, t_fin, acc_c, acc_d = res
             d_tfin, d_accc, d_accd = cot
             T = g.shape[0]
 
@@ -558,13 +568,16 @@ def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
             ct = pack8(d_accc, d_tfin, d_accd)
             dg = blend_bwd_pallas(g, counts, fo, ct, tiles_x,
                                   interpret=interpret)
-            K = idx.shape[1]
-            dg = jnp.where(mask[..., None], dg[:, :K, :], 0.0)
-            d_packed = jnp.zeros_like(packed).at[idx.reshape(-1)].add(
-                dg.reshape(-1, 10))
+            # deterministic scatter-add; masked/padded rows land on the
+            # sentinel row N (their gradient rows are exactly zero anyway),
+            # which is then dropped
+            n = packed.shape[0]
+            d_packed = jnp.zeros((n + 1, 10), jnp.float32).at[
+                idxm.reshape(-1)].add(dg.reshape(-1, 10))[:n]
+            k_cfg = cfg.max_per_tile
             return (d_packed,
-                    _np.zeros(idx.shape, jax.dtypes.float0),
-                    _np.zeros(mask.shape, jax.dtypes.float0))
+                    _np.zeros((T, k_cfg), jax.dtypes.float0),
+                    _np.zeros((T, k_cfg), jax.dtypes.float0))
     else:
         def fwd(packed, idx, mask):
             return jax.vjp(
