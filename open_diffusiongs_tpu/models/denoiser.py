@@ -77,6 +77,9 @@ class DGSDenoiser(nn.Module):
     range_setting_far: float = 500.0
     dtype: Dtype = jnp.float32          # compute dtype (bf16 on TPU)
     remat: bool = True
+    # under remat, keep attention outputs/residuals as named checkpoints
+    # (DiTStack.remat_save_attn — trades HBM for backward recompute)
+    remat_save_attn: bool = False
     attn_impl: str = "auto"   # 'flash' (TPU Pallas) | 'splash' | 'xla'
     # dp x tp jax.sharding.Mesh: shard_map the attention kernel over the
     # model axis (megatron column-parallel q/k/v; see models/transformer.py)
@@ -132,6 +135,7 @@ class DGSDenoiser(nn.Module):
 
         x = DiTStack(self.width, self.width // self.dim_heads,
                      self.num_layers, dtype=self.dtype, remat=self.remat,
+                     remat_save_attn=self.remat_save_attn,
                      attn_impl=self.attn_impl, tp_mesh=self.tp_mesh,
                      name="transformer")(x, t_emb)
 
