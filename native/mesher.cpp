@@ -701,8 +701,11 @@ int mesh_clean(const float* verts, int64_t n_verts,
       remap[i] = static_cast<int32_t>(i);
   }
 
-  // 2. drop degenerate + duplicate faces (same vertex triple, any order)
-  std::unordered_map<uint64_t, bool> face_seen;
+  // 2. drop degenerate + duplicate faces (same vertex triple, any order).
+  // Keyed on the actual sorted triple — a 64-bit hash of three 32-bit ids
+  // can collide and silently drop a valid face (same fix as the remesh
+  // dedup below).
+  std::set<std::array<int32_t, 3>> face_seen;
   std::vector<int32_t> kept;
   kept.reserve(n_tris * 3);
   for (int64_t t = 0; t < n_tris; t++) {
@@ -713,10 +716,7 @@ int mesh_clean(const float* verts, int64_t n_verts,
     if (s0 > s1) std::swap(s0, s1);
     if (s1 > s2) std::swap(s1, s2);
     if (s0 > s1) std::swap(s0, s1);
-    uint64_t k = (static_cast<uint64_t>(s0) * 2654435761u) ^
-                 (static_cast<uint64_t>(s1) << 21) ^
-                 (static_cast<uint64_t>(s2) << 42);
-    if (!face_seen.emplace(k, true).second) continue;
+    if (!face_seen.insert({s0, s1, s2}).second) continue;
     kept.push_back(a);
     kept.push_back(b);
     kept.push_back(c);
