@@ -42,10 +42,11 @@ def _make_system(h, w, steps=30, remat=False, scene=False):
     from open_diffusiongs_tpu.systems.object_system import ObjectSystem
     model = dict(width=1024, num_layers=24, patch_size=8,
                  dim_heads=64, dtype=jnp.bfloat16, remat=remat)
-    if os.environ.get("BENCH_SAVE_ATTN"):
-        # re-probe the attention-residual remat policy (docs/PERF_NOTES.md
-        # training-memory note): the analytic Pallas blend backward freed
-        # HBM that previously made this OOM on v5e-16GB
+    if remat and os.environ.get("BENCH_SAVE_ATTN", "1") != "0":
+        # attention-residual remat policy: OOM'd on v5e-16GB in round 2,
+        # fits since the analytic Pallas blend backward freed the HBM —
+        # 379.3 -> 355.3 ms/step b=1, 760.7 -> 726.3 b=2 (PERF_NOTES r3).
+        # Matches the training configs; BENCH_SAVE_ATTN=0 opts out.
         model["remat_save_attn"] = True
     if scene:
         # flagship scene denoiser (configs/diffusionGS_scene.yaml:27-36)

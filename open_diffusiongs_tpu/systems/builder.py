@@ -31,6 +31,9 @@ _SHAPE_MODEL_MAP = {
     "range_setting_near": "range_setting_near",
     "range_setting_far": "range_setting_far",
     "use_checkpoint": "remat",
+    # TPU-native extension: named-checkpoint policy keeping attention
+    # outputs/residuals across the DiT backward (docs/PERF_NOTES.md)
+    "remat_save_attn": "remat_save_attn",
     # TPU-side constants / unused reference knobs:
     "use_flash": None, "prior_distribution": None, "use_gssplat": None,
     "grad_checkpoint_every": None,
