@@ -77,8 +77,8 @@ def bench_sample(h, w, n_views=4, steps=30, scene=False):
     c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(1, 1, 3, h, w)), jnp.float32)
-    c2w = jnp.asarray(c2ws)[None]
-    fxy = jnp.asarray(fxy)[None]
+    c2w = np.asarray(c2ws)[None]  # host constant: no trace-time device fetch
+    fxy = np.asarray(fxy)[None]
 
     sample = jax.jit(lambda p, c, rng: system.sample(p, c, c2w, fxy, rng))
 

@@ -43,22 +43,23 @@ class DDIMScheduler:
         self.num_train_timesteps = num_train_timesteps
         self.prediction_type = prediction_type
         self.clip_sample = clip_sample
-        self.alphas_cumprod = jnp.asarray(acp, jnp.float32)
-        self.final_alpha_cumprod = jnp.asarray(
-            1.0 if set_alpha_to_one else acp[0], jnp.float32)
-        self.timesteps = jnp.arange(num_train_timesteps - 1, -1, -1)
+        # host-side tables: embedding a DEVICE array as an XLA constant at
+        # trace time costs a device->host fetch (docs/PERF_NOTES.md r3)
+        self.alphas_cumprod = np.asarray(acp, np.float32)
+        self.final_alpha_cumprod = np.float32(
+            1.0 if set_alpha_to_one else acp[0])
+        self.timesteps = np.arange(num_train_timesteps - 1, -1, -1)
         self.num_inference_steps = num_train_timesteps
 
     def set_timesteps(self, num_inference_steps: int):
         step = self.num_train_timesteps // num_inference_steps
         self.num_inference_steps = num_inference_steps
-        self.timesteps = jnp.asarray(
-            (np.arange(0, num_inference_steps) * step).round()[::-1].copy()
-            .astype(np.int64))
+        self.timesteps = (np.arange(0, num_inference_steps) * step
+                          ).round()[::-1].copy().astype(np.int64)
 
     def add_noise(self, original: jnp.ndarray, noise: jnp.ndarray,
                   t: jnp.ndarray) -> jnp.ndarray:
-        a = self.alphas_cumprod[t].reshape(
+        a = jnp.asarray(self.alphas_cumprod)[t].reshape(
             t.shape + (1,) * (original.ndim - t.ndim))
         return jnp.sqrt(a) * original + jnp.sqrt(1.0 - a) * noise
 
@@ -66,9 +67,10 @@ class DDIMScheduler:
              eta: float = 0.0, rng: Optional[jax.Array] = None):
         """One DDIM update x_t -> x_{t-step}."""
         prev_t = t - self.num_train_timesteps // self.num_inference_steps
-        a_t = self.alphas_cumprod[t]
-        a_prev = jnp.where(prev_t >= 0, self.alphas_cumprod[
-            jnp.maximum(prev_t, 0)], self.final_alpha_cumprod)
+        acp = jnp.asarray(self.alphas_cumprod)
+        a_t = acp[t]
+        a_prev = jnp.where(prev_t >= 0, acp[jnp.maximum(prev_t, 0)],
+                           self.final_alpha_cumprod)
         beta_t = 1.0 - a_t
 
         if self.prediction_type == "epsilon":

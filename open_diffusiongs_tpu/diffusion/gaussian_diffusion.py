@@ -114,8 +114,15 @@ def _schedule_from_betas(betas: np.ndarray, timestep_map: np.ndarray
     post_logvar = (np.log(np.append(post_var[1], post_var[1:]))
                    if len(post_var) > 1 else np.array([]))
     fl_var = np.append(post_var[1], betas[1:])
-    j = jnp.asarray
-    f = jnp.float32
+    # Schedule tables are stored as HOST (numpy) arrays on purpose: a
+    # jnp.asarray here would round-trip through the device, and embedding
+    # a device array as an XLA constant at trace time costs a
+    # device->host fetch (measured 37 s/array through the axon relay —
+    # the whole "142 s compile at 256^2" mystery, docs/PERF_NOTES.md r3).
+    # numpy constants embed from host memory for free; tracer-indexed
+    # sites wrap with jnp.asarray (see _extract).
+    j = lambda a, d: np.asarray(a, d)  # noqa: E731
+    f = np.float32
     return DiffusionSchedule(
         betas=j(betas, f),
         alphas_cumprod=j(acp, f),
@@ -132,7 +139,7 @@ def _schedule_from_betas(betas: np.ndarray, timestep_map: np.ndarray
             (1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp), f),
         fixed_large_variance=j(fl_var, f),
         fixed_large_log_variance=j(np.log(fl_var), f),
-        timestep_map=j(timestep_map, jnp.int32),
+        timestep_map=j(timestep_map, np.int32),
     )
 
 
@@ -159,9 +166,11 @@ def create_schedule(timestep_respacing=None,
     return _schedule_from_betas(np.array(new_betas), np.array(tmap))
 
 
-def _extract(arr: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    """arr[t] broadcast to an ndim-tensor shape ([b, 1, 1, ...])."""
-    return arr[t].reshape(t.shape + (1,) * (ndim - 1))
+def _extract(arr, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """arr[t] broadcast to an ndim-tensor shape ([b, 1, 1, ...]).
+    `arr` is a host (numpy) table — jnp.asarray makes tracer indexing
+    legal; under jit it embeds as a free host-side constant."""
+    return jnp.asarray(arr)[t].reshape(t.shape + (1,) * (ndim - 1))
 
 
 def q_sample(sched: DiffusionSchedule, x_start: jnp.ndarray, t: jnp.ndarray,
@@ -209,7 +218,7 @@ def p_sample_step(sched: DiffusionSchedule,
     b = x_t.shape[0]
     t_idx = jnp.asarray(t_idx, jnp.int32)
     t_b = jnp.full((b,), t_idx, jnp.int32)
-    t_model = sched.timestep_map[t_b]                       # respace remap
+    t_model = jnp.asarray(sched.timestep_map)[t_b]          # respace remap
     images = jnp.concatenate([cond, x_t], axis=1)
     renders, aux = model_fn(images, t_model)
     # model_fn may render only the noisy views (an optimization the loop

@@ -26,8 +26,9 @@ class FlowMatchEulerDiscreteScheduler:
         sigmas = np.linspace(1, num_train_timesteps, num_train_timesteps
                              )[::-1] / num_train_timesteps
         sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
-        self.sigmas = jnp.asarray(sigmas, jnp.float32)
-        self.timesteps = jnp.asarray(sigmas * num_train_timesteps, jnp.float32)
+        # host-side tables (see ddim.py note on trace-time constants)
+        self.sigmas = np.asarray(sigmas, np.float32)
+        self.timesteps = np.asarray(sigmas * num_train_timesteps, np.float32)
         self.num_inference_steps = None
 
     def set_timesteps(self, num_inference_steps: int):
@@ -35,20 +36,21 @@ class FlowMatchEulerDiscreteScheduler:
         sigmas = np.linspace(1.0, 1.0 / self.num_train_timesteps,
                              num_inference_steps)
         sigmas = self.shift * sigmas / (1 + (self.shift - 1) * sigmas)
-        self.sigmas = jnp.asarray(np.append(sigmas, 0.0), jnp.float32)
-        self.timesteps = jnp.asarray(sigmas * self.num_train_timesteps,
-                                     jnp.float32)
+        self.sigmas = np.asarray(np.append(sigmas, 0.0), np.float32)
+        self.timesteps = np.asarray(sigmas * self.num_train_timesteps,
+                                    np.float32)
 
     def scale_noise(self, sample: jnp.ndarray, t_index: jnp.ndarray,
                     noise: jnp.ndarray) -> jnp.ndarray:
-        s = self.sigmas[t_index].reshape(
+        s = jnp.asarray(self.sigmas)[t_index].reshape(
             t_index.shape + (1,) * (sample.ndim - t_index.ndim))
         return (1.0 - s) * sample + s * noise
 
     def step(self, model_output: jnp.ndarray, step_index: int,
              sample: jnp.ndarray) -> jnp.ndarray:
         """Euler step with velocity prediction (model predicts eps - x0)."""
-        dt = self.sigmas[step_index + 1] - self.sigmas[step_index]
+        sig = jnp.asarray(self.sigmas)
+        dt = sig[step_index + 1] - sig[step_index]
         return sample + dt * model_output
 
 

@@ -104,7 +104,11 @@ class ObjectSystem:
         imgs = jnp.zeros((1, v, 3, h, w), jnp.float32)
         rays = jnp.zeros((1, v, 3, h, w), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        return self.model.init(rng, imgs, rays, rays, t)
+        # jit the init: XLA dead-code-eliminates the (discarded) forward
+        # pass, leaving only the parameter initializers — one small
+        # executable instead of thousands of eager op dispatches (122 s ->
+        # ~2 s at 256^2 through the axon relay; docs/PERF_NOTES.md r3).
+        return jax.jit(self.model.init)(rng, imgs, rays, rays, t)
 
     def load_pretrained(self, params):
         """Apply the config's weight bootstraps to freshly-init params.

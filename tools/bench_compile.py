@@ -16,7 +16,10 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -54,8 +57,8 @@ def main() -> None:
     c2ws, fxy = _orbit_cameras(4, h=h, w=w)
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(1, 1, 3, h, w)), jnp.float32)
-    c2w = jnp.asarray(c2ws)[None]
-    fxy = jnp.asarray(fxy)[None]
+    c2w = np.asarray(c2ws)[None]  # host constant: no trace-time device fetch
+    fxy = np.asarray(fxy)[None]
 
     fn = jax.jit(lambda p, c, rng: system.sample(p, c, c2w, fxy, rng))
 

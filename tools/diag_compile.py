@@ -58,8 +58,8 @@ def main():
     c2ws, fxy = _orbit_cameras(args.views, h=h, w=w)
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(1, 1, 3, h, w)), jnp.float32)
-    c2w = jnp.asarray(c2ws)[None]
-    fxy_j = jnp.asarray(fxy)[None]
+    c2w = np.asarray(c2ws)[None]  # host constant: no trace-time device fetch
+    fxy_j = np.asarray(fxy)[None]
     key = jax.random.PRNGKey(1)
 
     fn = jax.jit(lambda p, c, r: system.sample(p, c, c2w, fxy_j, r))
