@@ -109,3 +109,29 @@ def test_p_sample_loop_trajectory():
     xs, x0s = out["trajectory"]
     assert xs.shape == (4, 1, 1, 3, 4, 4)
     assert x0s.shape == (4, 1, 1, 3, 4, 4)
+
+
+def test_schedule_tables_are_host_arrays():
+    """Regression guard for the trace-time constant hang (PERF_NOTES r3):
+    schedule tables embedded as jit constants must be HOST (numpy) arrays.
+    A device-resident table costs a device->host fetch per array at MLIR
+    constant-embed time — up to 37 s each through the axon relay."""
+    import jax
+
+    from open_diffusiongs_tpu.diffusion.ddim import DDIMScheduler
+    from open_diffusiongs_tpu.diffusion.rf import FlowMatchEulerDiscreteScheduler
+
+    sched = create_schedule("30", diffusion_steps=1000)
+    for name, v in sched._asdict().items():
+        assert not isinstance(v, jax.Array), \
+            f"DiffusionSchedule.{name} lives on device"
+
+    dd = DDIMScheduler()
+    dd.set_timesteps(10)
+    for name in ("alphas_cumprod", "final_alpha_cumprod", "timesteps"):
+        assert not isinstance(getattr(dd, name), jax.Array), name
+
+    rf = FlowMatchEulerDiscreteScheduler()
+    rf.set_timesteps(10)
+    for name in ("sigmas", "timesteps"):
+        assert not isinstance(getattr(rf, name), jax.Array), name
