@@ -95,8 +95,8 @@ def main() -> None:
             g, img_xyz = system.model.apply(
                 p_, images, ray_o, ray_d,
                 jnp.zeros((1,), jnp.int32), training=False)
-            s = sum(jnp.sum(x * x) for x in
-                    (g.xyz, g.scale, g.rotation, g.opacity, g.rgb))
+            s = sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                    for x in jax.tree.leaves(g))
             return s + jnp.sum(img_xyz * img_xyz)
         return jax.grad(loss)(p)
 
