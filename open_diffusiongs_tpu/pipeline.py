@@ -141,34 +141,72 @@ class DiffusionGSPipeline:
                  crop_bbx: Tuple[float, ...] = (-0.91, 0.91) * 3,
                  save_ply: Optional[str] = None) -> GSPipelineOutput:
         """Single image -> 3D (pipline_obj.py __call__:229-322)."""
-        if isinstance(image, str):
-            image = Image.open(image)
-        if isinstance(image, Image.Image):
-            cond = preprocess_image(image, foreground_ratio, resolution)
-        else:
-            cond = np.asarray(image, np.float32)
-        c2ws, fxy = object_camera_template(n_views, h=resolution, w=resolution)
+        return self.batch(
+            [image], seed=seed, foreground_ratio=foreground_ratio,
+            resolution=resolution, n_views=n_views,
+            extract_mesh=extract_mesh, mesh_resolution=mesh_resolution,
+            opacity_thres=opacity_thres, crop_bbx=crop_bbx,
+            save_ply=[save_ply] if save_ply else None)[0]
+
+    def batch(self, images, seed: int = 0, foreground_ratio: float = 0.85,
+              resolution: int = 256, n_views: int = 4,
+              extract_mesh: bool = False,
+              mesh_resolution: int = 256,
+              opacity_thres: float = 0.02,
+              crop_bbx: Tuple[float, ...] = (-0.91, 0.91) * 3,
+              save_ply=None) -> list:
+        """Batched images -> 3D assets via ONE jitted sampler call.
+
+        TPU serving mode (beyond the reference's one-image pipeline,
+        pipline_obj.py:229): stacking b conditions multiplies the DiT
+        matmul batch dim, amortizing grid/dispatch overheads — measured
+        throughput scaling in docs/PERF_NOTES.md ("batched sampling").
+        The jit re-specializes (and caches) per distinct batch size; keep
+        a fixed serving batch to avoid recompiles, padding the tail batch
+        with any image and dropping the extra outputs.
+
+        `save_ply`: optional list of per-image output paths (None entries
+        skip).  Returns a list of GSPipelineOutput, one per input, each
+        independently filtered/meshed exactly as the single-image path.
+        """
+        conds = []
+        for image in images:
+            if isinstance(image, str):
+                image = Image.open(image)
+            if isinstance(image, Image.Image):
+                cond = preprocess_image(image, foreground_ratio, resolution)
+            else:
+                cond = np.asarray(image, np.float32)
+            conds.append(cond)
+        b = len(conds)
+        c2ws, fxy = object_camera_template(n_views, h=resolution,
+                                           w=resolution)
 
         if self._sample_jit is None:
             self._sample_jit = jax.jit(
                 lambda p, c, cw, fx, r: self.system.sample(p, c, cw, fx, r))
         out = self._sample_jit(
-            self.params, jnp.asarray(cond)[None, None],
-            jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None],
+            self.params,
+            np.stack(conds)[:, None],                       # [b, 1, 3, h, w]
+            np.broadcast_to(c2ws[None], (b,) + c2ws.shape),
+            np.broadcast_to(fxy[None], (b,) + fxy.shape),
             jax.random.PRNGKey(seed))
 
-        g_dev = out["gaussians"]
-        g = NumpyGaussians.from_device(
-            jax.tree.map(lambda x: x[0], g_dev))
-        g = g.apply_all_filters(opacity_thres=opacity_thres,
-                                crop_bbx=crop_bbx)
-        renders = np.asarray(out["renders"][0])
+        g_all = jax.tree.map(np.asarray, out["gaussians"])
+        renders_all = np.asarray(out["renders"])
 
-        mesh = None
-        if extract_mesh:
-            from .ops.mesh import extract_mesh as _extract
-            mesh = _extract(g, resolution=mesh_resolution)
-        if save_ply:
-            save_gaussians(g, save_ply)
-        return GSPipelineOutput(gaussians=g, renders=renders,
-                                input_image=cond, mesh=mesh)
+        results = []
+        for i in range(b):
+            g = NumpyGaussians(*(x[i] for x in g_all))
+            g = g.apply_all_filters(opacity_thres=opacity_thres,
+                                    crop_bbx=crop_bbx)
+            mesh = None
+            if extract_mesh:
+                from .ops.mesh import extract_mesh as _extract
+                mesh = _extract(g, resolution=mesh_resolution)
+            if save_ply and save_ply[i]:
+                save_gaussians(g, save_ply[i])
+            results.append(GSPipelineOutput(
+                gaussians=g, renders=renders_all[i],
+                input_image=conds[i], mesh=mesh))
+        return results

@@ -14,7 +14,9 @@ import os
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--image", required=True)
+    p.add_argument("--image", required=True, nargs="+",
+                   help="one or more input images; >1 runs the batched "
+                        "serving path (one jitted sampler call)")
     p.add_argument("--ckpt", default=None,
                    help="pretrained dir (config.yaml + ckpts/); random "
                         "weights if omitted")
@@ -53,22 +55,30 @@ def main():
         pipe = DiffusionGSPipeline(system, params)
 
     os.makedirs(args.out, exist_ok=True)
-    out = pipe(args.image, seed=args.seed,
-               foreground_ratio=args.foreground_ratio,
-               resolution=args.resolution,
-               extract_mesh=args.extract_mesh,
-               save_ply=os.path.join(args.out, "gaussians.ply"))
+    multi = len(args.image) > 1
+    subdirs = [os.path.join(args.out, os.path.splitext(
+                   os.path.basename(im))[0]) if multi else args.out
+               for im in args.image]
+    for d in subdirs:
+        os.makedirs(d, exist_ok=True)
+    outs = pipe.batch(args.image, seed=args.seed,
+                      foreground_ratio=args.foreground_ratio,
+                      resolution=args.resolution,
+                      extract_mesh=args.extract_mesh,
+                      save_ply=[os.path.join(d, "gaussians.ply")
+                                for d in subdirs])
 
-    save_image(os.path.join(args.out, "input_processed.png"),
-               chw_to_hwc(out.input_image))
-    for i in range(out.renders.shape[0]):
-        save_image(os.path.join(args.out, f"render_{i}.png"),
-                   chw_to_hwc(out.renders[i]))
-    if out.mesh is not None:
-        from open_diffusiongs_tpu.ops.mesh import save_mesh_obj
-        save_mesh_obj(os.path.join(args.out, "mesh.obj"), *out.mesh)
-    print(f"saved outputs to {args.out}/ "
-          f"({out.gaussians.xyz.shape[0]} gaussians)")
+    for d, out in zip(subdirs, outs):
+        save_image(os.path.join(d, "input_processed.png"),
+                   chw_to_hwc(out.input_image))
+        for i in range(out.renders.shape[0]):
+            save_image(os.path.join(d, f"render_{i}.png"),
+                       chw_to_hwc(out.renders[i]))
+        if out.mesh is not None:
+            from open_diffusiongs_tpu.ops.mesh import save_mesh_obj
+            save_mesh_obj(os.path.join(d, "mesh.obj"), *out.mesh)
+        print(f"saved outputs to {d}/ "
+              f"({out.gaussians.xyz.shape[0]} gaussians)")
 
 
 if __name__ == "__main__":

@@ -170,3 +170,65 @@ def test_tensor_parallel_train_step_matches(rng):
     l1 = jax.tree.leaves(s1.params)[0]
     l2 = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+
+
+def test_sample_batch_elements_independent(rng):
+    """Batched sampling (pipeline.batch serving mode) must reproduce each
+    element's single-sample result exactly: the whole chain (denoiser
+    attention, rasterizer, diffusion update) is per-batch-element.  Noise
+    is replayed through noise_fn so the b=2 and b=1 runs see identical
+    per-element draws (the PRNG path draws shape-[b,...] tensors, which
+    would legitimately differ)."""
+    from open_diffusiongs_tpu.diffusion.gaussian_diffusion import (
+        p_sample_loop)
+
+    sys_ = _system()
+    params = sys_.init_params(jax.random.PRNGKey(0), H, W, v=V_IN)
+    c2ws, fxy = orbit_cameras(V_IN, h=H, w=W)
+    conds = rng.uniform(size=(2, 1, 3, H, W)).astype(np.float32)
+    init = rng.normal(size=(2, V_IN - 1, 3, H, W)).astype(np.float32)
+    T = sys_.sched_infer.num_steps
+    tbl = rng.normal(size=(T, V_IN - 1, 3, H, W)).astype(np.float32)
+
+    def run(cond, noise):
+        b = cond.shape[0]
+        c2w_b = jnp.asarray(np.broadcast_to(c2ws, (b,) + c2ws.shape))
+        fxy_b = jnp.asarray(np.broadcast_to(fxy, (b,) + fxy.shape))
+        loop_fn = sys_.make_model_fn(params, c2w_b, fxy_b, H, W,
+                                     skip_cond_render=1)
+        final_fn = sys_.make_model_fn(params, c2w_b, fxy_b, H, W)
+        noise_fn = lambda t: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(tbl)[t][None], (b, V_IN - 1, 3, H, W))
+        return p_sample_loop(sys_.sched_infer, loop_fn, jnp.asarray(cond),
+                             jnp.asarray(noise), jax.random.PRNGKey(5),
+                             clip_denoised=False, final_model_fn=final_fn,
+                             noise_fn=noise_fn)
+
+    out_b = run(conds, init)
+    for i in range(2):
+        out_1 = run(conds[i:i + 1], init[i:i + 1])
+        np.testing.assert_allclose(
+            np.asarray(out_b["sample"][i]), np.asarray(out_1["sample"][0]),
+            rtol=0, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out_b["renders"][i]), np.asarray(out_1["renders"][0]),
+            rtol=0, atol=2e-5)
+
+
+def test_pipeline_batch_api(rng):
+    """pipeline.batch returns one independently-filtered output per input
+    and matches __call__ (which routes through it)."""
+    from open_diffusiongs_tpu.pipeline import DiffusionGSPipeline
+
+    sys_ = _system()
+    params = sys_.init_params(jax.random.PRNGKey(0), H, W, v=V_IN)
+    pipe = DiffusionGSPipeline(sys_, params)
+    imgs = [rng.uniform(size=(3, H, W)).astype(np.float32) for _ in range(2)]
+    outs = pipe.batch(imgs, resolution=H, n_views=V_IN, seed=3)
+    assert len(outs) == 2
+    for o in outs:
+        assert o.renders.shape == (V_IN, 3, H, W)
+        assert np.isfinite(o.renders).all()
+        assert o.gaussians.xyz.ndim == 2
+    single = pipe(imgs[0], resolution=H, n_views=V_IN, seed=3)
+    assert single.renders.shape == (V_IN, 3, H, W)
