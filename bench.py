@@ -24,11 +24,17 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from open_diffusiongs_tpu.utils.cache import (  # noqa: E402
+    enable_persistent_cache)
+
+# env-var JAX_COMPILATION_CACHE_DIR is read too early on this stack (the
+# TPU plugin imports jax at interpreter start) — set the config directly.
+enable_persistent_cache()
 
 BASELINE_256_S = 6.0    # README.md:39 (paper claim, 1 GPU)
 BASELINE_512_S = 24.0   # README.md:74 (open-source 512 model)

@@ -50,6 +50,9 @@ def main():
         jax.distributed.initialize()
     import jax.numpy as jnp
 
+    from open_diffusiongs_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # warm restarts skip the 30-40 s XLA compile
+
     import open_diffusiongs_tpu as pkg
     from open_diffusiongs_tpu.data.loader import PrefetchLoader
     from open_diffusiongs_tpu.parallel.mesh import make_mesh, shard_batch

@@ -33,6 +33,9 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from open_diffusiongs_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # warm restarts skip the 30-40 s XLA compile
+
     import numpy as np
 
     from open_diffusiongs_tpu.pipeline import DiffusionGSPipeline

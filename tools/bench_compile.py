@@ -37,7 +37,6 @@ def main() -> None:
 
     if args.cold and os.path.isdir(args.cache):
         shutil.rmtree(args.cache)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", args.cache)
 
     import jax
     import jax.numpy as jnp
@@ -45,6 +44,9 @@ def main() -> None:
 
     import bench as bench_mod
     from __graft_entry__ import _orbit_cameras
+    from open_diffusiongs_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(args.cache)
 
     bench_mod.wait_for_device()
     h = w = args.res

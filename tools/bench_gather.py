@@ -23,9 +23,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
+from open_diffusiongs_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

@@ -19,7 +19,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def main() -> None:
@@ -32,6 +31,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from open_diffusiongs_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import bench as bench_mod
     from __graft_entry__ import _orbit_cameras
