@@ -10,8 +10,10 @@ Environment notes (zero-egress image):
   * from_pretrained takes a LOCAL directory (config.yaml + orbax ckpt);
     the reference's HF-hub download (pipline_obj.py:53-60) maps to that
     directory having been fetched beforehand;
-  * rembg is unavailable: `preprocess_image` uses the alpha channel when
-    present, else a border-color matting heuristic (documented divergence).
+  * rembg is unavailable (learned u2net weights need egress):
+    `preprocess_image` uses the alpha channel when present, else
+    from-scratch GrabCut matting (utils/matting.py + native/matting.cpp),
+    falling back to a border-color heuristic without the native build.
 """
 
 from __future__ import annotations
@@ -108,6 +110,7 @@ class DiffusionGSPipeline:
         self.system = system
         self.params = params
         self._sample_jit = None
+        self._replicated_params = None
 
     @classmethod
     def from_pretrained(cls, path: str, bf16: bool = True
@@ -154,7 +157,7 @@ class DiffusionGSPipeline:
               mesh_resolution: int = 256,
               opacity_thres: float = 0.02,
               crop_bbx: Tuple[float, ...] = (-0.91, 0.91) * 3,
-              save_ply=None) -> list:
+              save_ply=None, device_mesh=None) -> list:
         """Batched images -> 3D assets via ONE jitted sampler call.
 
         TPU serving mode (beyond the reference's one-image pipeline,
@@ -168,6 +171,14 @@ class DiffusionGSPipeline:
         `save_ply`: optional list of per-image output paths (None entries
         skip).  Returns a list of GSPipelineOutput, one per input, each
         independently filtered/meshed exactly as the single-image path.
+
+        `device_mesh`: optional `jax.sharding.Mesh` (parallel/mesh.py
+        `make_mesh`) — the condition batch is sharded over the `data`
+        axis and params replicated, scaling serving across chips with
+        zero code changes (len(images) must divide by the data-axis
+        size).  Element results match the unsharded path (partitionable
+        threefry); validated on the virtual CPU mesh in
+        tests/test_system_train.py.
         """
         conds = []
         for image in images:
@@ -185,12 +196,24 @@ class DiffusionGSPipeline:
         if self._sample_jit is None:
             self._sample_jit = jax.jit(
                 lambda p, c, cw, fx, r: self.system.sample(p, c, cw, fx, r))
-        out = self._sample_jit(
-            self.params,
-            np.stack(conds)[:, None],                       # [b, 1, 3, h, w]
-            np.broadcast_to(c2ws[None], (b,) + c2ws.shape),
-            np.broadcast_to(fxy[None], (b,) + fxy.shape),
-            jax.random.PRNGKey(seed))
+        args = (np.stack(conds)[:, None],                   # [b, 1, 3, h, w]
+                np.broadcast_to(c2ws[None], (b,) + c2ws.shape),
+                np.broadcast_to(fxy[None], (b,) + fxy.shape))
+        params = self.params
+        if device_mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+            dp = device_mesh.shape["data"]
+            assert b % dp == 0, (
+                f"batch {b} must divide the data axis ({dp}); pad the "
+                f"request bundle with a repeat image and drop the extras")
+            sh_b = batch_sharding(device_mesh)
+            args = tuple(jax.device_put(np.ascontiguousarray(a), sh_b)
+                         for a in args)
+            if self._replicated_params is None:
+                self._replicated_params = jax.device_put(
+                    params, replicated(device_mesh))
+            params = self._replicated_params
+        out = self._sample_jit(params, *args, jax.random.PRNGKey(seed))
 
         g_all = jax.tree.map(np.asarray, out["gaussians"])
         renders_all = np.asarray(out["renders"])

@@ -232,3 +232,26 @@ def test_pipeline_batch_api(rng):
         assert o.gaussians.xyz.ndim == 2
     single = pipe(imgs[0], resolution=H, n_views=V_IN, seed=3)
     assert single.renders.shape == (V_IN, 3, H, W)
+
+
+def test_pipeline_batch_sharded_matches_unsharded(rng):
+    """Serving scale-out: pipeline.batch(device_mesh=...) shards the
+    request bundle over the mesh's `data` axis; per-element results must
+    match the unsharded run (partitionable threefry + per-element compute
+    chain)."""
+    from open_diffusiongs_tpu.parallel.mesh import make_mesh
+    from open_diffusiongs_tpu.pipeline import DiffusionGSPipeline
+
+    sys_ = _system()
+    params = sys_.init_params(jax.random.PRNGKey(0), H, W, v=V_IN)
+    pipe = DiffusionGSPipeline(sys_, params)
+    imgs = [rng.uniform(size=(3, H, W)).astype(np.float32) for _ in range(2)]
+
+    plain = pipe.batch(imgs, resolution=H, n_views=V_IN, seed=3)
+    mesh = make_mesh(jax.devices()[:2])                 # dp=2 x tp=1
+    sharded = pipe.batch(imgs, resolution=H, n_views=V_IN, seed=3,
+                         device_mesh=mesh)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(b.renders, a.renders, atol=2e-5, rtol=0)
+        np.testing.assert_allclose(b.gaussians.xyz, a.gaussians.xyz,
+                                   atol=2e-5, rtol=0)
