@@ -80,6 +80,7 @@ class DGSDenoiser(nn.Module):
     # under remat, keep attention outputs/residuals as named checkpoints
     # (DiTStack.remat_save_attn — trades HBM for backward recompute)
     remat_save_attn: bool = False
+    remat_save_mlp: bool = False   # also keep fc1 hidden (DiTStack doc)
     attn_impl: str = "auto"   # 'flash' (TPU Pallas) | 'splash' | 'xla'
     # dp x tp jax.sharding.Mesh: shard_map the attention kernel over the
     # model axis (megatron column-parallel q/k/v; see models/transformer.py)
@@ -136,6 +137,7 @@ class DGSDenoiser(nn.Module):
         x = DiTStack(self.width, self.width // self.dim_heads,
                      self.num_layers, dtype=self.dtype, remat=self.remat,
                      remat_save_attn=self.remat_save_attn,
+                     remat_save_mlp=self.remat_save_mlp,
                      attn_impl=self.attn_impl, tp_mesh=self.tp_mesh,
                      name="transformer")(x, t_emb)
 

@@ -348,6 +348,10 @@ class Mlp(nn.Module):
     dim: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    # checkpoint_name the fc1 output (PRE-gelu) so a remat policy can keep
+    # it: backward then recomputes only the cheap gelu, never the fc1
+    # matmul (the largest single matmul in the block).
+    save_hidden: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -355,6 +359,9 @@ class Mlp(nn.Module):
         x = nn.Dense(hidden, kernel_init=INIT,
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
                      name="fc1")(x)
+        if self.save_hidden:
+            from jax.ad_checkpoint import checkpoint_name
+            x = checkpoint_name(x, "mlp_res")
         x = nn.gelu(x, approximate=True)   # GELU(approximate="tanh")
         x = nn.Dense(self.dim, kernel_init=INIT,
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -382,6 +389,7 @@ class DiTBlock(nn.Module):
     packed_l: Optional[int] = None
     packed_blocks: Optional[tuple] = None
     tp_mesh: Optional[Any] = None
+    save_mlp_hidden: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -399,7 +407,7 @@ class DiTBlock(nn.Module):
         mlp_in = modulate(_norm_noaffine(x), shift_mlp, scale_mlp)
         x = x + gate_mlp[:, None, :] * Mlp(
             self.hidden_size, self.mlp_ratio, dtype=self.dtype,
-            name="mlp")(mlp_in)
+            save_hidden=self.save_mlp_hidden, name="mlp")(mlp_in)
         return x
 
 
@@ -419,6 +427,10 @@ class DiTStack(nn.Module):
     # 256^2 training config (the remat baseline already sits near the
     # ceiling) — enable on bigger-HBM parts only.
     remat_save_attn: bool = False
+    # Additionally keep the fc1 (pre-gelu) hidden activations: backward
+    # recomputes only LN/modulate/gelu, no block matmul re-runs.  Costs
+    # [L, 4*width] bf16 per layer (~830 MB at 256^2 b=1).
+    remat_save_mlp: bool = False
     # dp x tp mesh for shard_map'd tensor-parallel attention (see Attention)
     tp_mesh: Optional[Any] = None
 
@@ -447,6 +459,7 @@ class DiTStack(nn.Module):
             packed_l: Optional[int]
             packed_blocks: Optional[tuple]
             tp_mesh: Optional[Any]
+            save_mlp_hidden: bool
 
             @nn.compact
             def __call__(self, carry, _):
@@ -455,16 +468,22 @@ class DiTStack(nn.Module):
                              packed_l=self.packed_l,
                              packed_blocks=self.packed_blocks,
                              tp_mesh=self.tp_mesh,
+                             save_mlp_hidden=self.save_mlp_hidden,
                              name="block")(carry, c)
                 return y, None
 
         body = _Body
         if self.remat:
+            names = ()
             if self.remat_save_attn:
+                names += ("attn_res",)
+            if self.remat_save_mlp:
+                names += ("mlp_res",)
+            if names:
                 body = nn.remat(
                     body, prevent_cse=False,
                     policy=jax.checkpoint_policies.save_only_these_names(
-                        "attn_res"))
+                        *names))
             else:
                 body = nn.remat(body, prevent_cse=False)
         scanned = nn.scan(
@@ -474,6 +493,6 @@ class DiTStack(nn.Module):
             length=self.num_layers,
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
           self.attn_impl, packed_l, packed_blocks, self.tp_mesh,
-          name="layers")
+          self.remat_save_mlp and self.remat, name="layers")
         x, _ = scanned(x, None)
         return x if packed_l is None else x[:, :l]

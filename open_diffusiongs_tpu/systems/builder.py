@@ -34,6 +34,7 @@ _SHAPE_MODEL_MAP = {
     # TPU-native extension: named-checkpoint policy keeping attention
     # outputs/residuals across the DiT backward (docs/PERF_NOTES.md)
     "remat_save_attn": "remat_save_attn",
+    "remat_save_mlp": "remat_save_mlp",
     # TPU-side constants / unused reference knobs:
     "use_flash": None, "prior_distribution": None, "use_gssplat": None,
     "grad_checkpoint_every": None,
