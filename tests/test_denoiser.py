@@ -138,6 +138,32 @@ def test_remat_save_attn_plumbing_and_grads(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_remat_save_mlp_plumbing_and_grads(rng):
+    """remat_save_mlp (keep fc1 pre-gelu hidden; PERF_NOTES r3) reaches
+    DiTStack through the DGSDenoiser surface and preserves values +
+    gradients vs plain remat, alone and combined with save_attn."""
+    images, ray_o, ray_d, t = _inputs(rng)
+    m1 = _model(remat=True)
+    params = m1.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+
+    def loss(m):
+        def f(p):
+            g, _ = m.apply(p, images, ray_o, ray_d, t)
+            return jnp.sum(g.xyz ** 2)
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(m1))(params)
+    for kw in (dict(remat_save_mlp=True),
+               dict(remat_save_attn=True, remat_save_mlp=True)):
+        m2 = _model(remat=True, **kw)
+        v2, g2 = jax.value_and_grad(loss(m2))(params)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+
 def test_param_count_full_size():
     # Full-size object config: sanity-check parameter count ~ 24-layer DiT.
     model = DGSDenoiser(remat=False)
