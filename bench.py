@@ -191,13 +191,14 @@ def bench_attention(l=16386, heads=16, dim=64, iters=20):
     return dt * 1e3, mfu
 
 
-def wait_for_device(max_tries: int = 12, probe_timeout: int = 90,
+def wait_for_device(max_tries: int = 40, probe_timeout: int = 90,
                     sleep_s: int = 120) -> None:
     """A crashed Mosaic compile can transiently wedge the remote TPU
-    backend (every new process hangs on first device use, recovery takes
-    ~20-40 min — see .claude/skills/verify/SKILL.md).  Probe in a
-    SUBPROCESS (a hung in-process jax call cannot be timed out) and wait
-    it out so a driver bench run is not lost to a transient wedge."""
+    backend (every new process hangs on first device use; recovery is
+    usually ~20-40 min but >75 min has been observed — see
+    .claude/skills/verify/SKILL.md).  Probe in a SUBPROCESS (a hung
+    in-process jax call cannot be timed out) and wait it out so a driver
+    bench run is not lost to a transient wedge (40 x 2 min ~= 80 min)."""
     import subprocess
     probe = ("import jax, jax.numpy as jnp;"
              "print('OK', float(jax.device_put(jnp.ones((4,))).sum()))")
