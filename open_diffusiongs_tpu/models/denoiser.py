@@ -85,6 +85,9 @@ class DGSDenoiser(nn.Module):
     # dp x tp jax.sharding.Mesh: shard_map the attention kernel over the
     # model axis (megatron column-parallel q/k/v; see models/transformer.py)
     tp_mesh: Optional[Any] = None
+    # Mesh with a seq axis > 1: sequence (context) parallelism — tokens
+    # sharded through the DiT stack, ring attention (parallel/ring.py).
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,
@@ -139,6 +142,7 @@ class DGSDenoiser(nn.Module):
                      remat_save_attn=self.remat_save_attn,
                      remat_save_mlp=self.remat_save_mlp,
                      attn_impl=self.attn_impl, tp_mesh=self.tp_mesh,
+                     sp_mesh=self.sp_mesh,
                      name="transformer")(x, t_emb)
 
         g_out = x[:, :self.n_gaussians]

@@ -189,6 +189,18 @@ def subset_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
+def _make_ring_attn(mesh, dh: int, l_real: int):
+    """Sequence-parallel (ring) attention over `mesh`'s seq axis — exact
+    full attention with the token axis sharded across devices
+    (parallel/ring.py).  Composes with tensor parallelism: the channel
+    axis shards over `model` when the mesh has one, so the column-parallel
+    q/k/v outputs feed it with zero collectives besides the ring's
+    neighbor ppermute."""
+    from ..parallel.ring import make_ring_attention
+    return make_ring_attention(mesh, dh=dh, l_real=l_real)
+
+
+@functools.lru_cache(maxsize=None)
 def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
                       tp_mesh=None):
     """custom_vjp over the packed-layout flash kernel: primal forward is the
@@ -299,6 +311,10 @@ class Attention(nn.Module):
     # shard_map (heads are embarrassingly parallel) instead of letting XLA
     # all-gather the un-annotated pallas_call's operands.
     tp_mesh: Optional[Any] = None
+    # Mesh with a seq axis > 1: ring (sequence-parallel) attention — the
+    # token axis stays sharded through the op (parallel/ring.py).  May be
+    # the same mesh object as tp_mesh (data x seq x model).
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -311,6 +327,14 @@ class Attention(nn.Module):
         k = dense(d, name="k")(x)
         v = dense(d, name="v")(x)
         impl = resolve_attn_impl(self.attn_impl)
+        sp = (1 if self.sp_mesh is None
+              else self.sp_mesh.shape.get("seq", 1))
+        if sp > 1 and self.packed_l is not None and not self.qk_norm:
+            o = _make_ring_attn(self.sp_mesh, head_dim,
+                                self.packed_l)(q, k, v)
+            return nn.Dense(d, use_bias=True, kernel_init=INIT,
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.dtype, name="proj")(o)
         tp = (1 if self.tp_mesh is None
               else self.tp_mesh.shape["model"])
         if (impl == "flash" and self.packed_l is not None
@@ -389,6 +413,7 @@ class DiTBlock(nn.Module):
     packed_l: Optional[int] = None
     packed_blocks: Optional[tuple] = None
     tp_mesh: Optional[Any] = None
+    sp_mesh: Optional[Any] = None
     save_mlp_hidden: bool = False
 
     @nn.compact
@@ -403,7 +428,8 @@ class DiTBlock(nn.Module):
             self.hidden_size, self.num_heads, dtype=self.dtype,
             attn_impl=self.attn_impl, qk_norm=self.qk_norm,
             packed_l=self.packed_l, packed_blocks=self.packed_blocks,
-            tp_mesh=self.tp_mesh, name="attn")(attn_in)
+            tp_mesh=self.tp_mesh, sp_mesh=self.sp_mesh,
+            name="attn")(attn_in)
         mlp_in = modulate(_norm_noaffine(x), shift_mlp, scale_mlp)
         x = x + gate_mlp[:, None, :] * Mlp(
             self.hidden_size, self.mlp_ratio, dtype=self.dtype,
@@ -433,6 +459,17 @@ class DiTStack(nn.Module):
     remat_save_mlp: bool = False
     # dp x tp mesh for shard_map'd tensor-parallel attention (see Attention)
     tp_mesh: Optional[Any] = None
+    # Mesh with a seq axis > 1: sequence (context) parallelism — the token
+    # axis is sharded across `seq` through the whole stack (per-token ops
+    # shard for free; attention goes through the ring, parallel/ring.py).
+    sp_mesh: Optional[Any] = None
+    # Mesh with a pipe axis > 1: GPipe pipeline parallelism — the stacked
+    # layer axis sharded across `pipe`, activations flow stage-to-stage
+    # with microbatching (parallel/pipeline.py).  Param layout (and so
+    # checkpoints) is unchanged: the same [num_layers, ...] stack, just
+    # sharded on its leading axis.
+    pp_mesh: Optional[Any] = None
+    pp_microbatches: Optional[int] = None   # default: one per pipe stage
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -443,12 +480,30 @@ class DiTStack(nn.Module):
         l = x.shape[1]
         packed_l = packed_blocks = None
         head_dim = self.hidden_size // self.num_heads
-        if (resolve_attn_impl(self.attn_impl) == "flash"
-                and head_dim <= 64 and 128 % head_dim == 0
-                and self.num_heads % (128 // head_dim) == 0):
+        sp = (1 if self.sp_mesh is None
+              else self.sp_mesh.shape.get("seq", 1))
+        flash_ok = (resolve_attn_impl(self.attn_impl) == "flash"
+                    and head_dim <= 64 and 128 % head_dim == 0
+                    and self.num_heads % (128 // head_dim) == 0)
+        if flash_ok or sp > 1:
             from ..ops.attention import plan_packed
             lp, packed_blocks = plan_packed(l)
+            if not flash_ok:
+                packed_blocks = None   # ring path only; no Pallas layout
             packed_l, x = l, jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+        if sp > 1:
+            assert packed_l is not None and x.shape[1] % sp == 0, (
+                f"padded token axis {x.shape[1]} must divide seq={sp}")
+            assert self.tp_mesh is None or self.tp_mesh is self.sp_mesh, (
+                "tp_mesh and sp_mesh must be the same (data, seq, model) "
+                "mesh — build it once with make_mesh()")
+            # Keep tokens sharded through the per-token ops (LN, adaLN,
+            # MLP, q/k/v/proj) — XLA then runs them on L/sp rows per chip.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS, SEQ_AXIS
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.sp_mesh, P(DATA_AXIS, SEQ_AXIS, None)))
 
         class _Body(nn.Module):
             hidden_size: int
@@ -459,6 +514,7 @@ class DiTStack(nn.Module):
             packed_l: Optional[int]
             packed_blocks: Optional[tuple]
             tp_mesh: Optional[Any]
+            sp_mesh: Optional[Any]
             save_mlp_hidden: bool
 
             @nn.compact
@@ -467,7 +523,7 @@ class DiTStack(nn.Module):
                              dtype=self.dtype, attn_impl=self.attn_impl,
                              packed_l=self.packed_l,
                              packed_blocks=self.packed_blocks,
-                             tp_mesh=self.tp_mesh,
+                             tp_mesh=self.tp_mesh, sp_mesh=self.sp_mesh,
                              save_mlp_hidden=self.save_mlp_hidden,
                              name="block")(carry, c)
                 return y, None
@@ -493,6 +549,7 @@ class DiTStack(nn.Module):
             length=self.num_layers,
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
           self.attn_impl, packed_l, packed_blocks, self.tp_mesh,
+          self.sp_mesh if sp > 1 else None,
           self.remat_save_mlp and self.remat, name="layers")
         x, _ = scanned(x, None)
         return x if packed_l is None else x[:, :l]

@@ -22,16 +22,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              model_parallel: int = 1) -> Mesh:
+              model_parallel: int = 1, seq_parallel: int = 1) -> Mesh:
+    """(data, seq, model) mesh: data-parallel batch over the outer axis,
+    optional sequence (ring/context) parallelism over `seq`, optional
+    tensor parallelism over the inner `model` axis (inner = shortest ICI
+    hops for the per-layer TP all-reduce; the ring's neighbor ppermute is
+    hop-local on any contiguous axis).  Unused axes keep size 1, so every
+    PartitionSpec works against every mesh."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    assert n % (model_parallel * seq_parallel) == 0, (
+        n, model_parallel, seq_parallel)
+    arr = np.asarray(devices).reshape(
+        n // (model_parallel * seq_parallel), seq_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
