@@ -93,11 +93,14 @@ def main():
     # attention kernel shard_mapped over it (models/transformer.py)
     tp = int(trainer_cfg.get("model_parallel", 1))
     # trainer.seq_parallel > 1 additionally shards the DiT token axis over
-    # a `seq` mesh axis (ring attention, parallel/ring.py)
+    # a `seq` mesh axis (ring attention, parallel/ring.py);
+    # trainer.pipe_parallel > 1 stages the layer stack over a `pipe` axis
+    # (GPipe microbatching, parallel/pipeline.py)
     sp = int(trainer_cfg.get("seq_parallel", 1))
-    mesh = make_mesh(model_parallel=tp, seq_parallel=sp)
+    pp = int(trainer_cfg.get("pipe_parallel", 1))
+    mesh = make_mesh(model_parallel=tp, seq_parallel=sp, pipe_parallel=pp)
     system = build_system(cfg.system_type, cfg.system, bf16=bf16,
-                          tp_mesh=mesh if tp > 1 or sp > 1 else None)
+                          tp_mesh=mesh if tp * sp * pp > 1 else None)
     opt_cfg = build_optimizer_config(cfg.system, trainer_cfg)
     tx = make_optimizer(opt_cfg)
 

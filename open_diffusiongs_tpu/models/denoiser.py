@@ -88,6 +88,10 @@ class DGSDenoiser(nn.Module):
     # Mesh with a seq axis > 1: sequence (context) parallelism — tokens
     # sharded through the DiT stack, ring attention (parallel/ring.py).
     sp_mesh: Optional[Any] = None
+    # Mesh with a pipe axis > 1: GPipe pipeline parallelism — the stacked
+    # layer axis sharded over `pipe` (parallel/pipeline.py).
+    pp_mesh: Optional[Any] = None
+    pp_microbatches: Optional[int] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,
@@ -142,7 +146,8 @@ class DGSDenoiser(nn.Module):
                      remat_save_attn=self.remat_save_attn,
                      remat_save_mlp=self.remat_save_mlp,
                      attn_impl=self.attn_impl, tp_mesh=self.tp_mesh,
-                     sp_mesh=self.sp_mesh,
+                     sp_mesh=self.sp_mesh, pp_mesh=self.pp_mesh,
+                     pp_microbatches=self.pp_microbatches,
                      name="transformer")(x, t_emb)
 
         g_out = x[:, :self.n_gaussians]

@@ -505,6 +505,12 @@ class DiTStack(nn.Module):
             x = jax.lax.with_sharding_constraint(
                 x, NamedSharding(self.sp_mesh, P(DATA_AXIS, SEQ_AXIS, None)))
 
+        pp = (1 if self.pp_mesh is None
+              else self.pp_mesh.shape.get("pipe", 1))
+        if pp > 1 and not self.is_initializing():
+            y = self._pipeline_forward(x, c, pp, packed_l, packed_blocks)
+            return y if packed_l is None else y[:, :l]
+
         class _Body(nn.Module):
             hidden_size: int
             num_heads: int
@@ -553,3 +559,35 @@ class DiTStack(nn.Module):
           self.remat_save_mlp and self.remat, name="layers")
         x, _ = scanned(x, None)
         return x if packed_l is None else x[:, :l]
+
+    def _pipeline_forward(self, x, c, pp: int, packed_l, packed_blocks):
+        """GPipe pipeline over `pp` stages (parallel/pipeline.py).
+
+        Reads the scanned stack's [num_layers, ...] params straight off the
+        bound variables (identical checkpoint layout to the nn.scan path)
+        and drives one DiTBlock per layer inside the pipeline's stage scan;
+        init still runs the plain scan so param creation is unchanged."""
+        assert self.tp_mesh is None and (
+            self.sp_mesh is None
+            or self.sp_mesh.shape.get("seq", 1) == 1), (
+            "pipeline parallelism composes with dp only (tp/sp shard_map "
+            "nesting not supported)")
+        assert self.num_layers % pp == 0, (self.num_layers, pp)
+        from ..parallel.pipeline import pipeline_apply
+
+        stacked = self.variables["params"]["layers"]
+        block = DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
+                         dtype=self.dtype, attn_impl=self.attn_impl,
+                         packed_l=packed_l, packed_blocks=packed_blocks)
+        apply_one = block.apply
+        if self.remat:
+            apply_one = jax.checkpoint(apply_one, prevent_cse=False)
+
+        def stage_fn(p_stack, x_mb, c_mb):
+            def one(h, p):
+                return apply_one({"params": p["block"]}, h, c_mb), None
+            h, _ = jax.lax.scan(one, x_mb, p_stack)
+            return h
+
+        mb = self.pp_microbatches or pp
+        return pipeline_apply(self.pp_mesh, stage_fn, stacked, x, c, mb)

@@ -22,25 +22,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              model_parallel: int = 1, seq_parallel: int = 1) -> Mesh:
-    """(data, seq, model) mesh: data-parallel batch over the outer axis,
-    optional sequence (ring/context) parallelism over `seq`, optional
-    tensor parallelism over the inner `model` axis (inner = shortest ICI
-    hops for the per-layer TP all-reduce; the ring's neighbor ppermute is
-    hop-local on any contiguous axis).  Unused axes keep size 1, so every
-    PartitionSpec works against every mesh."""
+              model_parallel: int = 1, seq_parallel: int = 1,
+              pipe_parallel: int = 1) -> Mesh:
+    """(data, pipe, seq, model) mesh: data-parallel batch over the outer
+    axis, optional GPipe pipeline stages over `pipe`, optional sequence
+    (ring/context) parallelism over `seq`, optional tensor parallelism
+    over the inner `model` axis.  Axis order = communication intensity
+    (innermost axes get the shortest ICI hops: TP all-reduces every layer,
+    the seq ring every attention, the pipe ring every microbatch).
+    Unused axes keep size 1, so every PartitionSpec works against every
+    mesh."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    assert n % (model_parallel * seq_parallel) == 0, (
-        n, model_parallel, seq_parallel)
+    par = model_parallel * seq_parallel * pipe_parallel
+    assert n % par == 0, (n, model_parallel, seq_parallel, pipe_parallel)
     arr = np.asarray(devices).reshape(
-        n // (model_parallel * seq_parallel), seq_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+        n // par, pipe_parallel, seq_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -104,6 +108,30 @@ def tensor_parallel_state_sharding(mesh: Mesh, state) -> "Any":
     def shard(path, leaf):
         keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
         return NamedSharding(mesh, dit_tp_rule(keys, leaf))
+
+    return jax.tree_util.tree_map_with_path(shard, state)
+
+
+def train_state_sharding(mesh: Mesh, state, tp: bool = False,
+                         pp: bool = False) -> "Any":
+    """NamedShardings for a TrainState under any mix of tensor parallelism
+    (dit_tp_rule on the width axes) and pipeline parallelism (the scanned
+    DiT stack's leading [num_layers] axis sharded over `pipe` — params,
+    EMA, and optimizer moments alike, so each stage's optimizer state
+    lives with its layers)."""
+    import jax
+
+    def shard(path, leaf):
+        keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        spec = dit_tp_rule(keys, leaf) if tp else P()
+        nd = getattr(leaf, "ndim", 0)
+        if pp and "layers" in "/".join(keys) and nd >= 1:
+            parts = list(spec) + [None] * (nd - len(spec))
+            parts[0] = PIPE_AXIS
+            while parts and parts[-1] is None:
+                parts.pop()
+            spec = P(*parts)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(shard, state)
 

@@ -77,7 +77,9 @@ def build_system(system_type: str, system_cfg: Dict[str, Any],
     if tp_mesh is not None and tp_mesh.shape.get("model", 1) > 1:
         sm["tp_mesh"] = tp_mesh
     if tp_mesh is not None and tp_mesh.shape.get("seq", 1) > 1:
-        sm["sp_mesh"] = tp_mesh       # one (data, seq, model) mesh
+        sm["sp_mesh"] = tp_mesh       # one (data, pipe, seq, model) mesh
+    if tp_mesh is not None and tp_mesh.shape.get("pipe", 1) > 1:
+        sm["pp_mesh"] = tp_mesh
     if system_type == "diffusion-gs-scene-system":
         sm.setdefault("ray_pe_type", "plk")
         cfg_cls = SceneSystemConfig

@@ -154,7 +154,7 @@ def test_tensor_parallel_train_step_matches(rng):
     s1, m1 = step1(state1, batch, jax.random.PRNGKey(2))
 
     mesh = make_mesh(model_parallel=2)
-    assert mesh.devices.shape == (4, 2)
+    assert mesh.devices.shape == (4, 1, 1, 2)   # (data, pipe, seq, model)
     state2 = init_train_state(params, tx, ema_decay=None)
     state_sh = tensor_parallel_state_sharding(mesh, state2)
     state2 = jax.device_put(state2, state_sh)
