@@ -157,12 +157,14 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
                        if jax.process_count() > 1 else None))
 
     state_sh = None
-    if mesh.shape.get("model", 1) > 1:
-        # shard params/EMA/optimizer moments per the megatron TP rule; the
-        # batch-size divisor is the DATA axis alone under tp
-        from open_diffusiongs_tpu.parallel.mesh import (
-            tensor_parallel_state_sharding)
-        state_sh = tensor_parallel_state_sharding(mesh, state)
+    tp_on = mesh.shape.get("model", 1) > 1
+    pp_on = mesh.shape.get("pipe", 1) > 1
+    if tp_on or pp_on:
+        # shard params/EMA/optimizer moments per the megatron TP rule and/or
+        # the pipe rule (scanned layer axis with its stage); the batch-size
+        # divisor is the DATA axis alone
+        from open_diffusiongs_tpu.parallel.mesh import train_state_sharding
+        state_sh = train_state_sharding(mesh, state, tp=tp_on, pp=pp_on)
         state = jax.device_put(state, state_sh)
     step_fn = make_train_step(system.train_loss, tx, mesh=mesh,
                               state_shardings=state_sh)
