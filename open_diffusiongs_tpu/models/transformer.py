@@ -204,9 +204,12 @@ def _make_ring_attn(mesh, dh: int, l_real: int):
 def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
                       tp_mesh=None):
     """custom_vjp over the packed-layout flash kernel: primal forward is the
-    packed kernel on [b, Lp, h*d]; the differentiated path runs splash on
-    the unpacked real rows (exact grads; pad-row grads are zero; XLA
-    attention off-TPU so the sharded path is CPU-testable).
+    packed kernel on [b, Lp, h*d]; the differentiated path runs the
+    stats-exporting forward plus the ANALYTIC Pallas backward pair
+    (ops/attention.py::flash_mha_packed_bwd) — no splash fallback, no
+    re-run of the forward, and pad-row grads are exactly zero.  Off-TPU
+    both directions run the same kernels in interpret mode, so the CPU
+    test suite exercises the real training path.
 
     With `tp_mesh` (a dp x tp jax.sharding.Mesh) the whole thing is wrapped
     in shard_map: batch on the data axis, the head-major channel axis on
@@ -218,7 +221,7 @@ def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
     layer's single all-reduce.  This replaces the round-2 behavior where
     XLA resolved the un-annotated pallas_call by all-gathering its
     operands (docs/PERF_NOTES.md multi-chip note)."""
-    from ..ops.attention import flash_mha_packed
+    from ..ops.attention import flash_mha_packed, flash_mha_packed_bwd
 
     inner_heads = num_heads
     if tp_mesh is not None:
@@ -234,25 +237,24 @@ def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
                                 l_real=l_real, blocks=blocks,
                                 interpret=interpret)
 
-    def ref_fn(q, k, v):
-        b, lp, hd = q.shape
-        dh = hd // inner_heads
-        q4 = q[:, :l_real].reshape(b, l_real, inner_heads, dh)
-        k4 = k[:, :l_real].reshape(b, l_real, inner_heads, dh)
-        v4 = v[:, :l_real].reshape(b, l_real, inner_heads, dh)
-        if jax.default_backend() == "tpu":
-            o4 = _splash_attention(q4 * dh ** -0.5, k4, v4)
-        else:
-            o4 = jax.nn.dot_product_attention(q4, k4, v4)
-        return jnp.pad(o4.reshape(b, l_real, hd),
-                       ((0, 0), (0, lp - l_real), (0, 0)))
-
     def fwd(q, k, v):
-        out, vjp_fn = jax.vjp(ref_fn, q, k, v)
-        return _name_attn_residuals(out, vjp_fn)
+        o, lse = flash_mha_packed(q, k, v, num_heads=inner_heads,
+                                  l_real=l_real, blocks=blocks,
+                                  with_stats=True, interpret=interpret)
+        # Tag o/lse for the remat_save_attn policy: saving them lets the
+        # backward skip the forward-kernel re-run entirely (q/k/v are the
+        # cheap projections, recomputed).  lse is [b, Lp, h] f32 — tiny
+        # next to round 2's full splash-residual set.
+        from jax.ad_checkpoint import checkpoint_name
+        o = checkpoint_name(o, "attn_res")
+        lse = checkpoint_name(lse, "attn_res")
+        return o, (q, k, v, o, lse)
 
-    def bwd(vjp_fn, g):
-        return vjp_fn(g)
+    def bwd(res, g):
+        q, k, v, o, lse = res
+        return flash_mha_packed_bwd(q, k, v, o, g, lse,
+                                    num_heads=inner_heads, l_real=l_real,
+                                    interpret=interpret)
 
     f.defvjp(fwd, bwd)
     if tp_mesh is None:
@@ -447,11 +449,12 @@ class DiTStack(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = True
     attn_impl: str = "auto"
-    # Opt-in: under remat, keep the attention outputs + vjp residuals as
-    # named checkpoints, skipping the per-layer splash forward re-run in
-    # backward.  Measured RESOURCE_EXHAUSTED on v5e-16GB at the flagship
-    # 256^2 training config (the remat baseline already sits near the
-    # ceiling) — enable on bigger-HBM parts only.
+    # Under remat, keep the attention outputs + per-row lse as named
+    # checkpoints: the analytic backward (ops/attention.py::
+    # flash_mha_packed_bwd) then needs no forward-kernel re-run, only the
+    # cheap q/k/v projections.  Costs [L, width] bf16 + [Lp, heads] f32
+    # per layer; fits v5e-16GB at the flagship configs (on by default in
+    # shipped train configs since the analytic blend backward freed HBM).
     remat_save_attn: bool = False
     # Additionally keep the fc1 (pre-gelu) hidden activations: backward
     # recomputes only LN/modulate/gelu, no block matmul re-runs.  Costs

@@ -18,8 +18,11 @@ time on the table.  Specializations:
     scores can only inflate the running max, which the flash recurrence is
     exact under).
 
-Training path: a custom_vjp routes the backward pass through the splash
-kernel's fused backward (exact gradients); the forward stays on this kernel.
+Training path: the packed forward additionally exports the per-row
+log-sum-exp (`with_stats=True`), and `flash_mha_packed_bwd` computes
+analytic gradients with a specialized dQ/dKV kernel pair — no splash
+fallback, no extra forward (models/transformer.py::_make_packed_attn
+wires the custom_vjp).
 """
 
 from __future__ import annotations
@@ -206,9 +209,19 @@ def _fwd_kernel_packed_smax(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr,
                                              ).astype(o_ref.dtype)
 
 
+def _fwd_kernel_packed_stats(q_ref, k_ref, v_ref, o_ref, st_ref, m_scr,
+                             acc_scr, q_scr, v1_scr, **kw):
+    """Stats-exporting variant (training forward): also writes the exp2-
+    domain log-sum-exp per row into st_ref column 2*s of each head s —
+    the only forward fact the analytic backward kernel needs."""
+    _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
+                       v1_scr, st_ref=st_ref, **kw)
+
+
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
                        v1_scr, *, nkv: int, bkv: int, l_real: int,
-                       masked: bool, scale: float, dh: int, hps: int):
+                       masked: bool, scale: float, dh: int, hps: int,
+                       st_ref=None):
     """One grid step processes `hps` heads (a 128-column group: Pallas TPU
     block last-dims must be 128-divisible, so a single 64-wide head slice
     is not addressable — and the grouping halves grid overhead anyway)."""
@@ -269,12 +282,231 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, q_scr,
             l = jnp.maximum(acc[:, dh:dh + 1], 1e-30)
             o_ref[:, s * dh:(s + 1) * dh] = (acc[:, :dh] / l
                                              ).astype(o_ref.dtype)
+            if st_ref is not None:
+                # exp2-domain LSE: p_norm = exp2(s~ - lse).  The m tile is
+                # constant across its 128 columns (built by broadcast max),
+                # so column 0 carries the row max.
+                st_ref[:, 2 * s:2 * s + 1] = (
+                    m_scr[:, s * 128:s * 128 + 1] + jnp.log2(l))
+
+
+_TN = (((0,), (0,)), ((), ()))   # contract first dims: A^T @ B
+
+
+def _bwd_load_kv(k_ref, v_ref, j, *, bkv: int, l_real: int, masked: bool):
+    """K/V block with pad rows zeroed.  Zeroed K bounds recomputed pad
+    scores (exp2(qk - lse) stays ~1 instead of overflowing on garbage
+    rows); zeroed V makes pad columns contribute exactly nothing to dP
+    and hence to dQ."""
+    k_blk = k_ref[...]
+    v_blk = v_ref[...]
+    if masked:
+        rows = lax.broadcasted_iota(jnp.int32, (bkv, 1), 0) + j * bkv
+        keep = rows < l_real
+        k_blk = jnp.where(keep, k_blk, 0)
+        v_blk = jnp.where(keep, v_blk, 0)
+    return k_blk, v_blk
+
+
+def _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref, *, dh: int):
+    """Recompute one head's [bq, bkv] probability tile P and softmax
+    gradient dS = P*(dP - delta) from the forward stats (st columns 2s =
+    exp2-domain lse, 2s+1 = delta = rowsum(dO*O) of head s).  Both are
+    returned cast to the input dtype so the consuming matmuls run as
+    single-pass bf16 MXU ops on TPU (f32 under the f32 tests)."""
+    hc = slice(s * dh, (s + 1) * dh)
+    qk = lax.dot_general(qs[:, hc], k_blk[:, hc], _NT,
+                         preferred_element_type=jnp.float32)
+    n = qk.shape[-1]
+    lse = jnp.tile(st_ref[:, 2 * s:2 * s + 1], (1, n))
+    dlt = jnp.tile(st_ref[:, 2 * s + 1:2 * s + 2], (1, n))
+    p = jnp.exp2(qk - lse)
+    dp = lax.dot_general(do_blk[:, hc], v_blk[:, hc], _NT,
+                         preferred_element_type=jnp.float32)
+    ds = p * (dp - dlt)
+    return hc, p.astype(do_blk.dtype), ds.astype(qs.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, st_ref, dq_ref, *,
+                   nkv: int, bkv: int, l_real: int, masked: bool,
+                   scale: float, dh: int, hps: int):
+    """dQ sweep: q block resident, kv blocks stream (inner grid dim).
+
+    Exp2-domain flash backward: with q~ = q*scale*log2e and true logits
+    z = ln2*q~·k, dL/dz = P*(dP - delta) = dS as computed, so
+    dL/dq = true_scale * dS·K = (scale/log2e) * dS·K."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    k_blk, v_blk = _bwd_load_kv(k_ref, v_ref, j, bkv=bkv, l_real=l_real,
+                                masked=masked)
+    qs = (q_ref[...].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    do_blk = do_ref[...]
+    for s in range(hps):
+        hc, _, ds = _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref, dh=dh)
+        dq_ref[:, hc] += lax.dot_general(
+            ds, k_blk[:, hc], _NN, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        dq_ref[...] = dq_ref[...] * (scale / LOG2E)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, st_ref, dk_ref, dv_ref, *,
+                    nq: int, bkv: int, l_real: int, masked: bool,
+                    scale: float, dh: int, hps: int):
+    """dK/dV sweep: kv blocks resident, q/do/stats blocks stream (inner
+    grid dim).  dV = P^T·dO exactly; dK accumulates dS^T·q~ against the
+    exp2-pre-scaled q~, so the finalizer multiplies by ln2 = 1/log2e
+    (dL/dk = true_scale * dS^T·q = (1/log2e) * dS^T·q~)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    j = pl.program_id(1)
+    k_blk, v_blk = _bwd_load_kv(k_ref, v_ref, j, bkv=bkv, l_real=l_real,
+                                masked=masked)
+    qs = (q_ref[...].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    do_blk = do_ref[...]
+    for s in range(hps):
+        hc, p, ds = _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref, dh=dh)
+        dv_ref[:, hc] += lax.dot_general(
+            p, do_blk[:, hc], _TN, preferred_element_type=jnp.float32)
+        dk_ref[:, hc] += lax.dot_general(
+            ds, qs[:, hc], _TN, preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        dk_ref[...] = dk_ref[...] * (1.0 / LOG2E)
+
+
+def _packed_dims(hd: int, num_heads: int, l_real: int,
+                 group_cols: int | None):
+    dh = hd // num_heads
+    gc = group_cols or pick_group_cols(l_real)
+    gc = min(gc, hd)
+    if num_heads % (gc // dh) != 0:
+        gc = 128                        # narrow fallback always divides
+    hps = gc // dh
+    assert dh <= 64 and 128 % dh == 0 and gc % 128 == 0, (dh, gc)
+    assert num_heads % hps == 0, (num_heads, hps)
+    return dh, gc, hps, num_heads // hps
+
+
+def pick_packed_bwd_blocks(l: int) -> tuple[int, int]:
+    """Backward block sizes.  Conservative (512, 512): each head step of
+    the backward kernels holds ~5 live [bq, bkv] f32 tiles (qk, p, dp,
+    ds + casts) vs the forward's 2, so the forward's (1536, 512) choice
+    would triple the temporary VMEM — and a failed Mosaic compile wedges
+    the shared TPU backend for tens of minutes (docs/PERF_NOTES.md), so
+    the sweep starts safe.  Revisit on hardware with care."""
+    del l
+    return 512, 512
+
+
+def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
+                         l_real: int,
+                         blocks: tuple[int, int] | None = None,
+                         group_cols: int | None = None,
+                         interpret: bool = False):
+    """Analytic (dq, dk, dv) for `flash_mha_packed` — the training-path
+    backward (reference analogue: xformers' fused flash backward behind
+    utils_transformer.py:145-179; the round-2 repo routed this through the
+    generic splash kernel pair plus an extra splash forward).
+
+    q/k/v: the packed [b, Lp, h*d_h] primals; o/lse: the stats-forward's
+    outputs (`with_stats=True`); do: the output cotangent (pad rows may
+    hold garbage — masked here).  Returns cotangents in the primal dtypes
+    with pad rows zeroed, so pad tokens contribute exactly nothing to the
+    projection grads.
+
+    Two pallas_calls (dQ with the kv sweep inner; dK/dV with the q sweep
+    inner) rather than one fused kernel: a fused kernel needs full-length
+    [Lp, gc] f32 dK/dV output windows resident in VMEM — 2 x 8.25 MiB at
+    the 512^2 flagship Lp=16896, over the ~16 MiB budget (and Pallas has
+    no HBM read-modify-write accumulation).  The recomputed score tiles
+    cost 2 extra MXU passes per (i, j, head) — the standard flash-
+    attention backward trade; the CUDA reference backward makes the same
+    split."""
+    b, lp, hd = q.shape
+    dh, gc, hps, groups = _packed_dims(hd, num_heads, l_real, group_cols)
+    bq, bkv = blocks or pick_packed_bwd_blocks(l_real)
+    assert lp % bq == 0 and lp % bkv == 0, (lp, bq, bkv)
+    nq, nkv = lp // bq, lp // bkv
+
+    valid = (jnp.arange(lp) < l_real)[None, :, None]
+    do = jnp.where(valid, do, 0).astype(q.dtype)
+    # delta_i = rowsum(dO_i * O_i) per head — with the forward lse, the
+    # only per-row facts the backward algebra needs.
+    delta = (do.astype(jnp.float32) * o.astype(jnp.float32)
+             ).reshape(b, lp, num_heads, dh).sum(-1)
+    st = _interleave_stats(lse, delta, groups=groups, hps=hps)
+    kw = dict(bkv=bkv, l_real=l_real, masked=lp > l_real,
+              scale=dh ** -0.5 * LOG2E, dh=dh, hps=hps)
+    dq_kern = functools.partial(_bwd_dq_kernel, nkv=nkv, **kw)
+    dkv_kern = functools.partial(_bwd_dkv_kernel, nq=nq, **kw)
+
+    def run(qi, ki, vi, doi, sti):
+        q_spec = pl.BlockSpec((bq, gc), lambda g, i, j: (i, g))
+        kv_spec = pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g))
+        st_spec = pl.BlockSpec((bq, 128), lambda g, i, j: (i, g))
+        dq = pl.pallas_call(
+            dq_kern,
+            grid=(groups, nq, nkv),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, st_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((lp, hd), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(qi, ki, vi, doi, sti)
+        # dkv grid: kv block index j is the MIDDLE dim (resident output),
+        # q sweep i is inner — index maps swap their grid arguments.
+        q_spec2 = pl.BlockSpec((bq, gc), lambda g, j, i: (i, g))
+        kv_spec2 = pl.BlockSpec((bkv, gc), lambda g, j, i: (j, g))
+        st_spec2 = pl.BlockSpec((bq, 128), lambda g, j, i: (i, g))
+        dk, dv = pl.pallas_call(
+            dkv_kern,
+            grid=(groups, nkv, nq),
+            in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, st_spec2],
+            out_specs=[kv_spec2, kv_spec2],
+            out_shape=[jax.ShapeDtypeStruct((lp, hd), jnp.float32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(qi, ki, vi, doi, sti)
+        return dq, dk, dv
+
+    dq, dk, dv = jax.vmap(run)(q, k, v, do, st)
+    dq = jnp.where(valid, dq, 0).astype(q.dtype)
+    dk = jnp.where(valid, dk, 0).astype(k.dtype)
+    dv = jnp.where(valid, dv, 0).astype(v.dtype)
+    return dq, dk, dv
+
+
+def _interleave_stats(lse, delta, *, groups: int, hps: int):
+    """Interleave per-head lse/delta [b, Lp, h] f32 into the backward
+    kernels' [b, Lp, 128*groups] stats layout (columns 2s / 2s+1 of each
+    group's 128-column band for in-group head s)."""
+    b, lp, h = lse.shape
+    st = jnp.stack([lse.reshape(b, lp, groups, hps),
+                    delta.reshape(b, lp, groups, hps)], axis=-1)
+    st = st.reshape(b, lp, groups, 2 * hps)
+    st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 128 - 2 * hps)))
+    return st.reshape(b, lp, 128 * groups)
 
 
 def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
                      blocks: tuple[int, int] | None = None,
                      group_cols: int | None = None,
                      scalar_max: bool = False,
+                     with_stats: bool = False,
                      interpret: bool = False):
     """Full MHA on the packed layout.  q/k/v: [b, Lp, h*d_h] with head-major
     columns (column h*d_h + c is head h, channel c) and Lp already padded to
@@ -284,27 +516,33 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
     `group_cols` (a multiple of 128) is how many head columns one grid step
     processes — Pallas TPU blocks need 128-divisible last dims, and wider
     groups amortize per-step overhead at short sequence lengths (fewer grid
-    steps).  num_heads must be divisible by group_cols // d_h."""
+    steps).  num_heads must be divisible by group_cols // d_h.
+
+    `with_stats=True` (training forward) additionally returns the exp2-
+    domain log-sum-exp per row per head, [b, Lp, h] f32 — the forward
+    fact `flash_mha_packed_bwd` rebuilds probabilities from."""
     b, lp, hd = q.shape
-    dh = hd // num_heads
-    gc = group_cols or pick_group_cols(l_real)
-    gc = min(gc, hd)
-    if num_heads % (gc // dh) != 0:
-        gc = 128                        # narrow fallback always divides
-    hps = gc // dh
-    assert dh <= 64 and 128 % dh == 0 and gc % 128 == 0, (dh, gc)
-    assert num_heads % hps == 0, (num_heads, hps)
+    dh, gc, hps, groups = _packed_dims(hd, num_heads, l_real, group_cols)
     bq, bkv = blocks or pick_packed_blocks(l_real)
     assert lp % bq == 0 and lp % bkv == 0, (lp, bq, bkv)
     nq, nkv = lp // bq, lp // bkv
-    groups = num_heads // hps
 
-    body = _fwd_kernel_packed_smax if scalar_max else _fwd_kernel_packed
+    assert not (scalar_max and with_stats), \
+        "stats export requires the row-max kernel"
+    body = (_fwd_kernel_packed_smax if scalar_max
+            else _fwd_kernel_packed_stats if with_stats
+            else _fwd_kernel_packed)
     kern = functools.partial(
         body, nkv=nkv, bkv=bkv, l_real=l_real,
         masked=lp > l_real, scale=dh ** -0.5 * LOG2E, dh=dh, hps=hps)
     m_scratch = (pltpu.SMEM((1, hps), jnp.float32) if scalar_max
                  else pltpu.VMEM((bq, 128 * hps), jnp.float32))
+    out_specs = [pl.BlockSpec((bq, gc), lambda g, i, j: (i, g))]
+    out_shapes = [jax.ShapeDtypeStruct((lp, hd), q.dtype)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((bq, 128), lambda g, i, j: (i, g)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((lp, 128 * groups), jnp.float32))
 
     def run(qi, ki, vi):
         return pl.pallas_call(
@@ -315,8 +553,8 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
                 pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g)),
                 pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g)),
             ],
-            out_specs=pl.BlockSpec((bq, gc), lambda g, i, j: (i, g)),
-            out_shape=jax.ShapeDtypeStruct((lp, hd), qi.dtype),
+            out_specs=out_specs if with_stats else out_specs[0],
+            out_shape=out_shapes if with_stats else out_shapes[0],
             scratch_shapes=[
                 m_scratch,
                 pltpu.VMEM((bq, 128 * hps), jnp.float32),
@@ -328,7 +566,14 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
             interpret=interpret,
         )(qi, ki, vi)
 
-    return jax.vmap(run)(q, k, v)
+    if not with_stats:
+        return jax.vmap(run)(q, k, v)
+    o, st = jax.vmap(run)(q, k, v)
+    # Compact the stats: only columns 2s of each group's 128-wide band are
+    # written (the lse of in-group head s) — extracting [b, Lp, h] here
+    # makes the custom_vjp residual 32x smaller than the raw kernel output.
+    lse = st.reshape(b, lp, groups, 128)[..., 0:2 * hps:2]
+    return o, lse.reshape(b, lp, num_heads)
 
 
 def pick_group_cols(l: int) -> int:

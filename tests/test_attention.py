@@ -307,3 +307,131 @@ def test_packed_tp_through_dit_stack(monkeypatch):
             np.asarray(a), np.asarray(bb), atol=2e-4, rtol=1e-2,
             err_msg=str(ka))
     tr._make_packed_attn.cache_clear()
+
+
+# ---------------------------------------------------------------------------
+# Analytic backward (flash_mha_packed_bwd): the training-path gradient
+# kernels, interpret-mode vs jax.grad of the XLA reference.
+# ---------------------------------------------------------------------------
+
+
+def _pack(x4, lp, pad_fill=None, rng=None):
+    b, l, h, dh = x4.shape
+    x = x4.reshape(b, l, h * dh)
+    if pad_fill is None:
+        pad = jnp.asarray(rng.normal(size=(b, lp - l, h * dh)), jnp.float32)
+    else:
+        pad = jnp.full((b, lp - l, h * dh), pad_fill, jnp.float32)
+    return jnp.concatenate([x, pad], axis=1)
+
+
+def test_packed_with_stats_lse():
+    """with_stats returns the exp2-domain log-sum-exp over VALID columns
+    only: lse = log2(sum_j 2^(q~.k_j)) with q~ = q * scale * log2e."""
+    from open_diffusiongs_tpu.ops.attention import LOG2E, flash_mha_packed
+    rng = np.random.default_rng(7)
+    b, l, lp, h, dh = 2, 300, 512, 2, 64
+    q4, k4, v4 = (jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+                  for _ in range(3))
+    o, lse = flash_mha_packed(
+        _pack(q4, lp, rng=rng), _pack(k4, lp, rng=rng),
+        _pack(v4, lp, rng=rng), num_heads=h, l_real=l,
+        blocks=(512, 512), with_stats=True, interpret=True)
+    assert lse.shape == (b, lp, h)
+    z = np.einsum("blhd,bmhd->bhlm", q4, k4) * dh ** -0.5   # true logits
+    ref = np.log2(np.exp2(np.asarray(z) * LOG2E
+                          - np.max(z, -1, keepdims=True) * LOG2E
+                          ).sum(-1)) + np.max(z, -1) * LOG2E
+    got = np.asarray(lse)[:, :l].transpose(0, 2, 1)         # [b, h, l]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+    # the o output must equal the stats-free kernel's
+    o2 = flash_mha_packed(
+        _pack(q4, lp, rng=np.random.default_rng(7)),
+        _pack(k4, lp, rng=np.random.default_rng(7)),
+        _pack(v4, lp, rng=np.random.default_rng(7)),
+        num_heads=h, l_real=l, blocks=(512, 512), interpret=True)
+    # (different rng pad rows — compare real rows only)
+    np.testing.assert_allclose(np.asarray(o)[:, :l], np.asarray(o2)[:, :l],
+                               atol=2e-5)
+
+
+def _bwd_case(b, l, lp, h, dh, blocks=None, seed=0, pad_fill=None,
+              cot_pad_garbage=True):
+    """Analytic (dq, dk, dv) vs jax.grad of the XLA reference.  Pad rows of
+    q/k/v hold garbage; the cotangent may too (the wrapper must mask it)."""
+    from open_diffusiongs_tpu.ops.attention import (flash_mha_packed,
+                                                    flash_mha_packed_bwd)
+    rng = np.random.default_rng(seed)
+    q4, k4, v4 = (jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+                  for _ in range(3))
+    qp, kp, vp = (_pack(x, lp, pad_fill=pad_fill, rng=rng)
+                  for x in (q4, k4, v4))
+    cot4 = jnp.asarray(rng.normal(size=(b, l, h, dh)), jnp.float32)
+    cot = _pack(cot4, lp, pad_fill=None if cot_pad_garbage else 0.0, rng=rng)
+
+    def ref_loss(qf, kf, vf):
+        to4 = lambda x: x[:, :l].reshape(b, l, h, dh)
+        o4 = jax.nn.dot_product_attention(to4(qf), to4(kf), to4(vf))
+        return jnp.sum(o4 * cot4)
+
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(qp, kp, vp)
+
+    o, lse = flash_mha_packed(qp, kp, vp, num_heads=h, l_real=l,
+                              blocks=blocks, with_stats=True, interpret=True)
+    dq, dk, dv = flash_mha_packed_bwd(qp, kp, vp, o, cot, lse,
+                                      num_heads=h, l_real=l,
+                                      interpret=True)
+    for got, ref, name in ((dq, rq, "dq"), (dk, rk, "dk"), (dv, rv, "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
+        # pad rows must be exactly zero (they feed projection grads)
+        assert not np.asarray(got)[:, l:].any(), name
+
+
+def test_packed_bwd_masked():
+    _bwd_case(2, 300, 512, 2, 64)
+
+
+def test_packed_bwd_exact_multiple():
+    _bwd_case(1, 512, 512, 2, 64, seed=1)
+
+
+def test_packed_bwd_multi_block_sweeps():
+    # nq = nkv = 3 with real rows ending mid-block
+    _bwd_case(1, 1200, 1536, 2, 64, seed=2)
+
+
+def test_packed_bwd_narrow_heads():
+    # dh=32 -> 4 heads per 128-column group
+    _bwd_case(1, 300, 512, 4, 32, seed=3)
+
+
+def test_packed_bwd_huge_pad_garbage():
+    # pad rows at 1e4: recomputed pad scores must not overflow into NaNs
+    _bwd_case(1, 300, 512, 2, 64, seed=4, pad_fill=1e4)
+
+
+def test_packed_vjp_matches_xla_grads():
+    """The full custom_vjp (models/transformer.py::_make_packed_attn) under
+    jax.grad — against the XLA path, including a loss that only reads the
+    real rows."""
+    from open_diffusiongs_tpu.models.transformer import _make_packed_attn
+    b, l, lp, h, dh = 1, 300, 512, 2, 64
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, lp, h * dh)), jnp.float32)
+               for _ in range(3))
+    f = _make_packed_attn(h, l, (512, 512))
+
+    def loss(fn):
+        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_)[:, :l] ** 2)
+
+    def ref(q_, k_, v_):
+        to4 = lambda x: x[:, :l].reshape(b, l, h, dh)
+        o = jax.nn.dot_product_attention(to4(q_), to4(k_), to4(v_))
+        return jnp.pad(o.reshape(b, l, h * dh), ((0, 0), (0, lp - l), (0, 0)))
+
+    got = jax.grad(loss(f), argnums=(0, 1, 2))(q, k, v)
+    exp = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+    for g_, e_, name in zip(got, exp, "qkv"):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(e_),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
