@@ -159,12 +159,17 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
     state_sh = None
     tp_on = mesh.shape.get("model", 1) > 1
     pp_on = mesh.shape.get("pipe", 1) > 1
-    if tp_on or pp_on:
+    # trainer.zero1: ZeRO-1 optimizer-state sharding — mu/nu/EMA sharded
+    # over the data axis (parallel/mesh.py::train_state_sharding)
+    z1_on = bool(trainer_cfg.get("zero1", False)) \
+        and mesh.shape.get("data", 1) > 1
+    if tp_on or pp_on or z1_on:
         # shard params/EMA/optimizer moments per the megatron TP rule and/or
         # the pipe rule (scanned layer axis with its stage); the batch-size
         # divisor is the DATA axis alone
         from open_diffusiongs_tpu.parallel.mesh import train_state_sharding
-        state_sh = train_state_sharding(mesh, state, tp=tp_on, pp=pp_on)
+        state_sh = train_state_sharding(mesh, state, tp=tp_on, pp=pp_on,
+                                        zero1=z1_on)
         state = jax.device_put(state, state_sh)
     step_fn = make_train_step(system.train_loss, tx, mesh=mesh,
                               state_shardings=state_sh)

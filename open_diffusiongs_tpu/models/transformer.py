@@ -260,13 +260,12 @@ def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
     if tp_mesh is None:
         return f
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
     spec = P(DATA_AXIS, None, MODEL_AXIS)
-    return shard_map(f, mesh=tp_mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)
+    return jax.shard_map(f, mesh=tp_mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)
 
 
 class RMSNorm(nn.Module):

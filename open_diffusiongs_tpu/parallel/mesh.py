@@ -113,13 +113,24 @@ def tensor_parallel_state_sharding(mesh: Mesh, state) -> "Any":
 
 
 def train_state_sharding(mesh: Mesh, state, tp: bool = False,
-                         pp: bool = False) -> "Any":
+                         pp: bool = False, zero1: bool = False) -> "Any":
     """NamedShardings for a TrainState under any mix of tensor parallelism
     (dit_tp_rule on the width axes) and pipeline parallelism (the scanned
     DiT stack's leading [num_layers] axis sharded over `pipe` — params,
     EMA, and optimizer moments alike, so each stage's optimizer state
-    lives with its layers)."""
+    lives with its layers).
+
+    `zero1` additionally shards every optimizer-moment and EMA leaf over
+    the `data` axis (ZeRO stage 1 / optimizer state sharding): params stay
+    replicated for the forward, but inside the jitted step XLA partitions
+    the AdamW update elementwise-on-shards — the gradient all-reduce
+    becomes reduce-scatter (into the moment shards) + all-gather (of the
+    param update), the same wire bytes as DDP while each chip holds only
+    1/dp of mu/nu/EMA.  Exceeds the reference (plain DDP replicates
+    optimizer state per GPU, SURVEY.md §2.3)."""
     import jax
+
+    dp = mesh.shape.get(DATA_AXIS, 1)
 
     def shard(path, leaf):
         keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
@@ -131,9 +142,26 @@ def train_state_sharding(mesh: Mesh, state, tp: bool = False,
             while parts and parts[-1] is None:
                 parts.pop()
             spec = P(*parts)
+        if zero1 and dp > 1 and keys and keys[0] in ("opt_state",
+                                                     "ema_params"):
+            spec = _zero1_spec(spec, getattr(leaf, "shape", ()), dp)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(shard, state)
+
+
+def _zero1_spec(spec: P, shape, dp: int) -> P:
+    """Shard the first free (un-sharded, dp-divisible) axis over `data`.
+    Leaves with no such axis (scalars like the Adam count, odd-sized
+    heads) stay as-is — correctness never depends on the split."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    for i, (s, n) in enumerate(zip(parts, shape)):
+        if s is None and n % dp == 0 and n > 0:
+            parts[i] = DATA_AXIS
+            while parts and parts[-1] is None:
+                parts.pop()
+            return P(*parts)
+    return spec
 
 
 def local_batch_slice(global_batch: int) -> slice:

@@ -172,6 +172,46 @@ def test_tensor_parallel_train_step_matches(rng):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
 
 
+def test_zero1_train_step_matches(rng):
+    """ZeRO-1 optimizer-state sharding (mu/nu/EMA over the 8-way data
+    axis): one step must match the replicated-state result bit-for-bit
+    semantics-wise, with the moment leaves actually sharded."""
+    from open_diffusiongs_tpu.parallel.mesh import (make_mesh,
+                                                    train_state_sharding)
+    sys_ = _system()
+    params = sys_.init_params(jax.random.PRNGKey(0), H, W, v=V_IN)
+    tx = make_optimizer(OptimizerConfig(lr=1e-3, t_max=1000))
+    batch = _batch(rng, b=8)
+
+    state1 = init_train_state(params, tx, ema_decay=0.9)
+    step1 = make_train_step(sys_.train_loss, tx, mesh=None, ema_decay=0.9,
+                            donate=False)
+    s1, m1 = step1(state1, batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh()
+    state2 = init_train_state(params, tx, ema_decay=0.9)
+    state_sh = train_state_sharding(mesh, state2, zero1=True)
+    state2 = jax.device_put(state2, state_sh)
+    # moments and EMA sharded over data; params replicated
+    mu = state2.opt_state[1][0].mu["params"]["transformer"]["layers"][
+        "block"]["attn"]["q"]["kernel"]
+    assert "data" in str(mu.sharding.spec), mu.sharding
+    ema = jax.tree.leaves(state2.ema_params)
+    assert any("data" in str(e.sharding.spec) for e in ema)
+    assert all("data" not in str(p.sharding.spec)
+               for p in jax.tree.leaves(state2.params))
+    step2 = make_train_step(sys_.train_loss, tx, mesh=mesh, ema_decay=0.9,
+                            donate=False, state_shardings=state_sh)
+    s2, m2 = step2(state2, shard_batch(mesh, batch), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.ema_params),
+                    jax.tree.leaves(s2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_sample_batch_elements_independent(rng):
     """Batched sampling (pipeline.batch serving mode) must reproduce each
     element's single-sample result exactly: the whole chain (denoiser
