@@ -32,20 +32,23 @@ def _read_null_str(buf: bytes, off: int) -> Tuple[str, int]:
     return buf[off:end].decode("latin-1"), end + 1
 
 
-def _predictor_undo(data: bytearray) -> bytearray:
-    # OpenEXR "reconstruct": delta decode
-    for i in range(1, len(data)):
-        data[i] = (data[i] + data[i - 1] - 128) & 0xFF
-    return data
+def _predictor_undo(data: bytes) -> bytes:
+    # OpenEXR "reconstruct": delta decode.  The sequential recurrence
+    # y[i] = (x[i] + y[i-1] - 128) mod 256 telescopes to a cumsum —
+    # y[i] = (sum(x[:i+1]) - 128*i) mod 256 — so it vectorizes exactly
+    # (a per-byte Python loop here was ~200x slower, the decode hot spot).
+    x = np.frombuffer(data, np.uint8).astype(np.int64)
+    y = (np.cumsum(x) - 128 * np.arange(len(x), dtype=np.int64)) & 0xFF
+    return y.astype(np.uint8).tobytes()
 
 
-def _predictor_apply(data: bytearray) -> bytearray:
-    out = bytearray(len(data))
-    prev = 0
-    for i, b in enumerate(data):
-        out[i] = (b - prev + 128) & 0xFF if i else b
-        prev = b
-    return out
+def _predictor_apply(data: bytes) -> bytes:
+    x = np.frombuffer(data, np.uint8).astype(np.int16)
+    out = np.empty(len(x), np.uint8)
+    if len(x):
+        out[0] = x[0]
+        out[1:] = ((x[1:] - x[:-1] + 128) & 0xFF).astype(np.uint8)
+    return out.tobytes()
 
 
 def _deinterleave(data: bytes) -> bytes:
@@ -114,6 +117,10 @@ def read_exr(path: str) -> Tuple[np.ndarray, List[str]]:
 
     out = {cname: np.zeros((height, width), np.float32)
            for cname, _ in channels}
+    # homogeneous channel dtype (the GObjaverse case) unpacks whole blocks
+    # with one reshape/transpose instead of a per-line per-channel loop
+    homo_dt = (_PIXELTYPE[channels[0][1]][0]
+               if len({pt for _, pt in channels}) == 1 else None)
     for bi, boff in enumerate(offsets):
         y0 = struct.unpack_from("<i", buf, boff)[0] - ymin
         dsize = struct.unpack_from("<i", buf, boff + 4)[0]
@@ -122,12 +129,18 @@ def read_exr(path: str) -> Tuple[np.ndarray, List[str]]:
         raw_size = line_bytes * n_lines
         if compression in (2, 3):
             if dsize < raw_size:
-                raw = bytes(_predictor_undo(bytearray(zlib.decompress(data))))
-                raw = _deinterleave(raw)
+                raw = _deinterleave(_predictor_undo(zlib.decompress(data)))
             else:
                 raw = data  # stored uncompressed (incompressible block)
         else:
             raw = data
+        if homo_dt is not None:
+            blk = np.frombuffer(raw, dtype=homo_dt,
+                                count=n_lines * len(channels) * width)
+            blk = blk.reshape(n_lines, len(channels), width)
+            for ci, (cname, _) in enumerate(channels):
+                out[cname][y0:y0 + n_lines] = blk[:, ci].astype(np.float32)
+            continue
         pos = 0
         for li in range(n_lines):
             for (cname, pt) in channels:
@@ -153,8 +166,14 @@ def read_depth_from_nd_exr(path: str) -> np.ndarray:
 
 
 def write_exr(path: str, img: np.ndarray,
-              channel_names: List[str] = None, half: bool = True) -> None:
-    """Write an uncompressed scanline EXR. img: [H, W, C] float32."""
+              channel_names: List[str] = None, half: bool = True,
+              compression: str = "none") -> None:
+    """Write a scanline EXR. img: [H, W, C] float32.  compression:
+    "none", "zips" (per-line zlib) or "zip" (16-line blocks) — the zip
+    modes produce what real GObjaverse assets use, exercising the
+    deinterleave + delta-predictor decode path."""
+    comp_code = {"none": 0, "zips": 2, "zip": 3}[compression]
+    lines_per_block = {0: 1, 2: 1, 3: 16}[comp_code]
     h, w, c = img.shape
     if channel_names is None:
         channel_names = (["A", "B", "G", "R"] if c == 4 else
@@ -181,7 +200,7 @@ def write_exr(path: str, img: np.ndarray,
         chan.extend(struct.pack("<2i", 1, 1))  # x/y sampling
     chan.extend(b"\x00")
     attr("channels", "chlist", bytes(chan))
-    attr("compression", "compression", b"\x00")
+    attr("compression", "compression", bytes([comp_code]))
     dw = struct.pack("<4i", 0, 0, w - 1, h - 1)
     attr("dataWindow", "box2i", dw)
     attr("displayWindow", "box2i", dw)
@@ -191,15 +210,33 @@ def write_exr(path: str, img: np.ndarray,
     attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header.extend(b"\x00")
 
-    line_bytes = w * c * bpp
-    base = 8 + len(header) + 8 * h
-    offsets = [base + i * (8 + line_bytes) for i in range(h)]
+    n_blocks = -(-h // lines_per_block)
+    blocks = []
+    for bi in range(n_blocks):
+        y0 = bi * lines_per_block
+        n_lines = min(lines_per_block, h - y0)
+        # per line: channels in (alphabetical) order, channel-major
+        raw = np.ascontiguousarray(
+            img[y0:y0 + n_lines][:, :, order].transpose(0, 2, 1)
+        ).astype(dt).tobytes()
+        if comp_code:
+            enc = zlib.compress(_predictor_apply(_interleave(raw)))
+            if len(enc) >= len(raw):
+                enc = raw       # incompressible block stays raw (EXR spec)
+        else:
+            enc = raw
+        blocks.append((y0, enc))
+
+    base = 8 + len(header) + 8 * n_blocks
+    offsets, pos = [], base
+    for _, enc in blocks:
+        offsets.append(pos)
+        pos += 8 + len(enc)
 
     with open(path, "wb") as f:
         f.write(struct.pack("<ii", _MAGIC, 2))
         f.write(header)
-        f.write(struct.pack(f"<{h}q", *offsets))
-        for y in range(h):
-            f.write(struct.pack("<ii", y, line_bytes))
-            row = img[y][:, order].T.astype(dt)  # channel-major per line
-            f.write(row.tobytes())
+        f.write(struct.pack(f"<{n_blocks}q", *offsets))
+        for y0, enc in blocks:
+            f.write(struct.pack("<ii", y0, len(enc)))
+            f.write(enc)

@@ -46,6 +46,45 @@ def test_exr_depth_channel(tmp_path, rng):
     np.testing.assert_allclose(depth[..., 0], img[..., 3], rtol=1e-6)
 
 
+@pytest.mark.parametrize("comp,half", [("zip", True), ("zip", False),
+                                       ("zips", True)])
+def test_exr_roundtrip_zip(tmp_path, rng, comp, half):
+    """ZIP/ZIPS compression — the real GObjaverse encoding: deinterleave +
+    delta-predictor decode, odd height (last 16-line block short)."""
+    img = rng.uniform(0, 10, (37, 12, 4)).astype(np.float32)
+    path = str(tmp_path / "z.exr")
+    write_exr(path, img, ["R", "G", "B", "A"], half=half,
+              compression=comp)
+    out, names = read_exr(path)
+    assert names == ["A", "B", "G", "R"]
+    tol = dict(rtol=1e-2, atol=1e-2) if half else dict(rtol=1e-6)
+    np.testing.assert_allclose(out[..., names.index("R")], img[..., 0], **tol)
+    np.testing.assert_allclose(out[..., names.index("A")], img[..., 3], **tol)
+
+
+def test_exr_zip_incompressible_block(tmp_path, rng):
+    """A block whose zlib encoding is not smaller is stored raw (EXR spec);
+    the reader must take the dsize == raw_size branch."""
+    img = np.frombuffer(rng.bytes(16 * 8 * 1 * 4), np.uint32).astype(
+        np.float32).reshape(16, 8, 1)   # white-noise mantissas
+    path = str(tmp_path / "inc.exr")
+    write_exr(path, img, ["A"], half=False, compression="zip")
+    out, _ = read_exr(path)
+    np.testing.assert_allclose(out[..., 0], img[..., 0], rtol=1e-6)
+
+
+def test_exr_predictor_vectorized_semantics(rng):
+    """The cumsum delta decode must equal the per-byte reference loop."""
+    from open_diffusiongs_tpu.utils.exr import (_predictor_apply,
+                                               _predictor_undo)
+    data = bytes(rng.integers(0, 256, 4097, dtype=np.uint8))
+    ref = bytearray(data)
+    for i in range(1, len(ref)):
+        ref[i] = (ref[i] + ref[i - 1] - 128) & 0xFF
+    assert _predictor_undo(data) == bytes(ref)
+    assert _predictor_undo(_predictor_apply(data)) == data
+
+
 def test_orbit_roundtrip():
     for ele, azi, r in [(10.0, 30.0, 2.0), (-45.0, 200.0, 3.5), (0.0, 0.0, 1.0)]:
         T = orbit_camera(ele, azi, r)
