@@ -42,16 +42,41 @@ class GSPipelineOutput:
     mesh: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (verts, tris)
 
 
+_U2NET_CACHE: dict = {}
+
+
+def _u2net_params():
+    """Load (and cache) converted U²-Net weights if an NPZ is present at
+    $U2NET_NPZ / ~/.cache/open_diffusiongs_tpu/u2net.npz; None otherwise.
+    $U2NET_SPEC selects the variant ("u2net" default / "u2netp" lite)."""
+    from .utils import u2net
+    spec = u2net.SPECS[os.environ.get("U2NET_SPEC", "u2net")]
+    path = u2net.default_weights_path()
+    key = (path, id(spec))
+    if key not in _U2NET_CACHE:
+        _U2NET_CACHE[key] = (
+            (u2net.load_params(path, spec), spec)
+            if os.path.exists(path) else None)
+    return _U2NET_CACHE[key]
+
+
 def remove_background(img: np.ndarray) -> np.ndarray:
     """[h, w, 3] uint8 -> alpha [h, w] float in [0, 1].
 
-    rembg stand-in (pipline_obj.py:256-261, learned u2net weights need
-    egress): from-scratch GrabCut — border-seeded GMM color models + graph
+    The reference runs rembg's learned U²-Net (pipline_obj.py:256-261).
+    Preference order here: (1) the same U²-Net, TPU-native
+    (utils/u2net.py), when a converted weights NPZ is available
+    (tools/convert_u2net_weights.py — the checkpoint itself needs egress);
+    (2) from-scratch GrabCut — border-seeded GMM color models + graph
     min-cut (utils/matting.py + native/matting.cpp) — which handles
-    textured backgrounds, not just studio shots.  Falls back to the
-    median-border-color heuristic if the native solver is not built.
+    textured backgrounds, not just studio shots; (3) the median-border-
+    color heuristic if the native solver is not built either.
     """
-    from .utils import matting
+    from .utils import matting, u2net
+    loaded = _u2net_params()
+    if loaded is not None:
+        params, spec = loaded
+        return u2net.u2net_alpha(params, img, spec=spec)
     if matting.available():
         return matting.grabcut_alpha(img)
     border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], axis=0)

@@ -106,3 +106,25 @@ def test_grabcut_via_pipeline_preprocess(rng):
     assert out[:, 0, 0].min() > 0.95
     assert out[:, 32, 32].std() >= 0.0  # present, finite
     assert np.isfinite(out).all()
+
+
+def test_u2net_path_preferred_when_npz_present(rng, tmp_path, monkeypatch):
+    """remove_background picks the learned U²-Net when a converted NPZ
+    exists ($U2NET_NPZ), matching the reference's rembg-first behavior."""
+    from open_diffusiongs_tpu import pipeline
+    from open_diffusiongs_tpu.utils import u2net
+
+    params = u2net.synth_params(u2net.U2NETP, seed=11)
+    path = str(tmp_path / "u2netp.npz")
+    np.savez(path, **params)
+    monkeypatch.setenv("U2NET_NPZ", path)
+    monkeypatch.setenv("U2NET_SPEC", "u2netp")
+    pipeline._U2NET_CACHE.clear()
+    try:
+        img, _ = _synthetic_scene(rng)
+        alpha = pipeline.remove_background(img)
+        assert alpha.shape == img.shape[:2]
+        # the learned path min-max rescales: full [0, 1] range is hit
+        assert float(alpha.min()) == 0.0 and float(alpha.max()) == 1.0
+    finally:
+        pipeline._U2NET_CACHE.clear()
