@@ -40,14 +40,15 @@ BASELINE_256_S = 6.0    # README.md:39 (paper claim, 1 GPU)
 BASELINE_512_S = 24.0   # README.md:74 (open-source 512 model)
 
 
-def _make_system(h, w, steps=30, remat=False, scene=False):
+def _make_system(h, w, steps=30, remat=False, scene=False, quant=False):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
     from open_diffusiongs_tpu.systems.object_system import ObjectSystemConfig
     from open_diffusiongs_tpu.systems.scene_system import (
         SceneSystem, SceneSystemConfig)
     from open_diffusiongs_tpu.systems.object_system import ObjectSystem
     model = dict(width=1024, num_layers=24, patch_size=8,
-                 dim_heads=64, dtype=jnp.bfloat16, remat=remat)
+                 dim_heads=64, dtype=jnp.bfloat16, remat=remat,
+                 quant_int8=quant)
     if remat and os.environ.get("BENCH_SAVE_ATTN", "1") != "0":
         # attention-residual remat policy: OOM'd on v5e-16GB in round 2,
         # fits since the analytic Pallas blend backward freed the HBM —
@@ -74,11 +75,11 @@ def _make_system(h, w, steps=30, remat=False, scene=False):
     ))
 
 
-def bench_sample(h, w, n_views=4, steps=30, scene=False):
+def bench_sample(h, w, n_views=4, steps=30, scene=False, quant=False):
     """Returns (best_seconds, compile_seconds)."""
     from __graft_entry__ import _orbit_cameras
 
-    system = _make_system(h, w, steps, scene=scene)
+    system = _make_system(h, w, steps, scene=scene, quant=quant)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
     cond = jnp.asarray(
@@ -320,7 +321,46 @@ def main():
         except Exception as ex:  # noqa: BLE001
             out["error_scene512"] = str(ex)[:160]
 
+    print(json.dumps(out), flush=True)
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_INT8"):
+        # Opt-in W8A8 serving mode (ops/quant.py): int8 MXU ops halve the
+        # deep dense matmuls (q/k/v/proj/fc1/fc2).  Reported alongside a
+        # fidelity number: PSNR of the int8 sampler's renders against the
+        # f32 sampler's on the same seed at 256^2 (random-weights model —
+        # a distribution proxy, not a claim about trained checkpoints;
+        # docs/PERF_NOTES.md int8 section).
+        try:
+            best8, compile8 = bench_sample(512, 512, n_views, steps,
+                                           quant=True)
+            out["image_to_3d_seconds_512_int8"] = round(best8, 3)
+            out["compile_512_int8_s"] = round(compile8, 1)
+            out["int8_psnr_vs_f32_256"] = round(
+                _int8_fidelity_psnr(h, w, n_views, steps), 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_int8"] = str(ex)[:200]
+
     print(json.dumps(out))
+
+
+def _int8_fidelity_psnr(h, w, n_views, steps):
+    """PSNR between the f32 and int8 samplers' generated views (same
+    params, same noise seed)."""
+    from __graft_entry__ import _orbit_cameras
+    sys_f = _make_system(h, w, steps)
+    sys_q = _make_system(h, w, steps, quant=True)
+    params = sys_f.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
+    c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
+    cond = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 1, 3, h, w)), jnp.float32)
+    c2w, fxy = np.asarray(c2ws)[None], np.asarray(fxy)[None]
+    key = jax.random.PRNGKey(11)
+    a = np.asarray(jax.jit(lambda p, c, r: sys_f.sample(p, c, c2w, fxy, r)
+                           )(params, cond, key)["sample"], np.float64)
+    b = np.asarray(jax.jit(lambda p, c, r: sys_q.sample(p, c, c2w, fxy, r)
+                           )(params, cond, key)["sample"], np.float64)
+    mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))
 
 
 if __name__ == "__main__":

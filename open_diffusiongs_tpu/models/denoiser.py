@@ -92,6 +92,9 @@ class DGSDenoiser(nn.Module):
     # layer axis sharded over `pipe` (parallel/pipeline.py).
     pp_mesh: Optional[Any] = None
     pp_microbatches: Optional[int] = None
+    # Serving-mode W8A8 int8 DiT projections (ops/quant.py) — inference
+    # only; checkpoints are unchanged (same param tree).
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,
@@ -148,6 +151,7 @@ class DGSDenoiser(nn.Module):
                      attn_impl=self.attn_impl, tp_mesh=self.tp_mesh,
                      sp_mesh=self.sp_mesh, pp_mesh=self.pp_mesh,
                      pp_microbatches=self.pp_microbatches,
+                     quant_int8=self.quant_int8,
                      name="transformer")(x, t_emb)
 
         g_out = x[:, :self.n_gaussians]

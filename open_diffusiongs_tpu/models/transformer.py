@@ -316,13 +316,17 @@ class Attention(nn.Module):
     # token axis stays sharded through the op (parallel/ring.py).  May be
     # the same mesh object as tp_mesh (data x seq x model).
     sp_mesh: Optional[Any] = None
+    # Serving-mode W8A8 int8 projections (ops/quant.py) — same param tree
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, l, d = x.shape
         head_dim = d // self.num_heads
+        from ..ops.quant import QuantDense
         dense = functools.partial(
-            nn.Dense, use_bias=True, kernel_init=INIT,
+            QuantDense if self.quant_int8 else nn.Dense,
+            use_bias=True, kernel_init=INIT,
             bias_init=nn.initializers.zeros, dtype=self.dtype)
         q = dense(d, name="q")(x)
         k = dense(d, name="k")(x)
@@ -333,9 +337,7 @@ class Attention(nn.Module):
         if sp > 1 and self.packed_l is not None and not self.qk_norm:
             o = _make_ring_attn(self.sp_mesh, head_dim,
                                 self.packed_l)(q, k, v)
-            return nn.Dense(d, use_bias=True, kernel_init=INIT,
-                            bias_init=nn.initializers.zeros,
-                            dtype=self.dtype, name="proj")(o)
+            return dense(d, name="proj")(o)
         tp = (1 if self.tp_mesh is None
               else self.tp_mesh.shape["model"])
         if (impl == "flash" and self.packed_l is not None
@@ -364,9 +366,7 @@ class Attention(nn.Module):
             o = o.reshape(b, lr, d)
             if lr != l:
                 o = jnp.pad(o, ((0, 0), (0, l - lr), (0, 0)))
-        return nn.Dense(d, use_bias=True, kernel_init=INIT,
-                        bias_init=nn.initializers.zeros, dtype=self.dtype,
-                        name="proj")(o)
+        return dense(d, name="proj")(o)
 
 
 class Mlp(nn.Module):
@@ -377,20 +377,23 @@ class Mlp(nn.Module):
     # it: backward then recomputes only the cheap gelu, never the fc1
     # matmul (the largest single matmul in the block).
     save_hidden: bool = False
+    quant_int8: bool = False   # serving-mode W8A8 (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quant import QuantDense
+        dense = QuantDense if self.quant_int8 else nn.Dense
         hidden = int(self.dim * self.mlp_ratio)
-        x = nn.Dense(hidden, kernel_init=INIT,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="fc1")(x)
+        x = dense(hidden, kernel_init=INIT,
+                  bias_init=nn.initializers.zeros, dtype=self.dtype,
+                  name="fc1")(x)
         if self.save_hidden:
             from jax.ad_checkpoint import checkpoint_name
             x = checkpoint_name(x, "mlp_res")
         x = nn.gelu(x, approximate=True)   # GELU(approximate="tanh")
-        x = nn.Dense(self.dim, kernel_init=INIT,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="fc2")(x)
+        x = dense(self.dim, kernel_init=INIT,
+                  bias_init=nn.initializers.zeros, dtype=self.dtype,
+                  name="fc2")(x)
         return x
 
 
@@ -416,6 +419,8 @@ class DiTBlock(nn.Module):
     tp_mesh: Optional[Any] = None
     sp_mesh: Optional[Any] = None
     save_mlp_hidden: bool = False
+    quant_int8: bool = False   # W8A8 q/k/v/proj/fc1/fc2 (adaLN stays f32:
+    # it is O(width^2) per *sample*, not per token — nothing to win)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -430,11 +435,12 @@ class DiTBlock(nn.Module):
             attn_impl=self.attn_impl, qk_norm=self.qk_norm,
             packed_l=self.packed_l, packed_blocks=self.packed_blocks,
             tp_mesh=self.tp_mesh, sp_mesh=self.sp_mesh,
-            name="attn")(attn_in)
+            quant_int8=self.quant_int8, name="attn")(attn_in)
         mlp_in = modulate(_norm_noaffine(x), shift_mlp, scale_mlp)
         x = x + gate_mlp[:, None, :] * Mlp(
             self.hidden_size, self.mlp_ratio, dtype=self.dtype,
-            save_hidden=self.save_mlp_hidden, name="mlp")(mlp_in)
+            save_hidden=self.save_mlp_hidden,
+            quant_int8=self.quant_int8, name="mlp")(mlp_in)
         return x
 
 
@@ -472,6 +478,9 @@ class DiTStack(nn.Module):
     # sharded on its leading axis.
     pp_mesh: Optional[Any] = None
     pp_microbatches: Optional[int] = None   # default: one per pipe stage
+    # Serving-mode W8A8 int8 block projections (ops/quant.py) — inference
+    # only: rounding has zero gradient, so train configs keep this off.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -524,6 +533,7 @@ class DiTStack(nn.Module):
             tp_mesh: Optional[Any]
             sp_mesh: Optional[Any]
             save_mlp_hidden: bool
+            quant_int8: bool
 
             @nn.compact
             def __call__(self, carry, _):
@@ -533,6 +543,7 @@ class DiTStack(nn.Module):
                              packed_blocks=self.packed_blocks,
                              tp_mesh=self.tp_mesh, sp_mesh=self.sp_mesh,
                              save_mlp_hidden=self.save_mlp_hidden,
+                             quant_int8=self.quant_int8,
                              name="block")(carry, c)
                 return y, None
 
@@ -558,7 +569,8 @@ class DiTStack(nn.Module):
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
           self.attn_impl, packed_l, packed_blocks, self.tp_mesh,
           self.sp_mesh if sp > 1 else None,
-          self.remat_save_mlp and self.remat, name="layers")
+          self.remat_save_mlp and self.remat, self.quant_int8,
+          name="layers")
         x, _ = scanned(x, None)
         return x if packed_l is None else x[:, :l]
 
@@ -580,7 +592,8 @@ class DiTStack(nn.Module):
         stacked = self.variables["params"]["layers"]
         block = DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
                          dtype=self.dtype, attn_impl=self.attn_impl,
-                         packed_l=packed_l, packed_blocks=packed_blocks)
+                         packed_l=packed_l, packed_blocks=packed_blocks,
+                         quant_int8=self.quant_int8)
         apply_one = block.apply
         if self.remat:
             apply_one = jax.checkpoint(apply_one, prevent_cse=False)
