@@ -111,6 +111,11 @@ class DGSDenoiser(nn.Module):
         b, v, _, h, w = images.shape
         p = self.patch_size
         gs_ch = GS_CH(self.gaussians_sh_degree)
+        if training and self.quant_int8:
+            # int8 rounding has zero gradient a.e. — training through it
+            # would silently learn nothing in the quantized projections
+            raise ValueError("quant_int8 is a serving-mode knob; disable "
+                             "it for training (shape_model.quant_int8)")
 
         if self.ray_pe_type == "relative_plk":
             o_dot_d = jnp.sum(-ray_o * ray_d, axis=2, keepdims=True)

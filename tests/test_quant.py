@@ -95,3 +95,14 @@ def test_denoiser_quant_flag_end_to_end(rng):
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.99, (name, cos)
         assert not np.allclose(a, b), name   # the int8 path actually ran
+
+
+def test_quant_training_raises(rng):
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 2, 3, 16, 16)), jnp.float32)
+    ro = jnp.asarray(rng.normal(0, 1, (1, 2, 3, 16, 16)), jnp.float32)
+    rd = ro / jnp.linalg.norm(ro, axis=2, keepdims=True)
+    t = jnp.asarray([10])
+    m = _tiny_denoiser(True)
+    params = m.init(jax.random.PRNGKey(0), imgs, ro, rd, t)
+    with pytest.raises(ValueError, match="serving-mode"):
+        m.apply(params, imgs, ro, rd, t, training=True)
