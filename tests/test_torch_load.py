@@ -290,3 +290,41 @@ def test_convert_ckpt_cli_torch_free(tmp_path, fake_torch):
     # kernel transposed torch [out, in] -> flax [in, out]
     key = [k for k in data if "mlp_0" in k and "kernel" in k]
     assert key and data[key[0]].shape == (256, d)
+
+
+def test_malicious_pickle_gadget_rejected(tmp_path):
+    """A .pt carrying a classic REDUCE gadget (os.system) must be refused
+    by the safelist, not executed (these files are downloaded third-party
+    artifacts; mirrors torch.load(weights_only=True) semantics)."""
+    from open_diffusiongs_tpu.utils.torch_load import torch_load
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned > " + str(tmp_path / "pwn"),))
+
+    buf = io.BytesIO()
+    pickle.Pickler(buf, protocol=2).dump({"weights": Evil()})
+    path = tmp_path / "evil.pt"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/version", "3\n")
+    with pytest.raises(NotImplementedError, match="safelist"):
+        torch_load(str(path))
+    assert not (tmp_path / "pwn").exists()
+
+
+def test_stdlib_container_gadgets_rejected(tmp_path):
+    """Even innocent-looking non-safelisted stdlib globals are refused
+    (functools.partial is a known gadget building block)."""
+    import functools
+
+    from open_diffusiongs_tpu.utils.torch_load import torch_load
+
+    buf = io.BytesIO()
+    pickle.Pickler(buf, protocol=2).dump(functools.partial(print, "x"))
+    path = tmp_path / "partial.pt"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/version", "3\n")
+    with pytest.raises(NotImplementedError, match="safelist"):
+        torch_load(str(path))
