@@ -106,3 +106,38 @@ def test_quant_training_raises(rng):
     params = m.init(jax.random.PRNGKey(0), imgs, ro, rd, t)
     with pytest.raises(ValueError, match="serving-mode"):
         m.apply(params, imgs, ro, rd, t, training=True)
+
+
+def test_quant_with_tp_mesh_matches_unsharded(monkeypatch, rng):
+    """quant_int8 composes with the shard_map'd TP attention: the int8
+    Denses sit outside the shard_map (replicated activations), so a dp x
+    tp mesh must reproduce the single-device quantized forward exactly."""
+    import functools as ft
+
+    from open_diffusiongs_tpu.models import transformer as tr
+    from open_diffusiongs_tpu.ops import attention as at
+    from open_diffusiongs_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(tr, "resolve_attn_impl",
+                        lambda impl: "flash" if impl == "auto" else impl)
+    monkeypatch.setattr(at, "flash_mha_packed",
+                        ft.partial(at.flash_mha_packed, interpret=True))
+    tr._make_packed_attn.cache_clear()
+
+    mesh = make_mesh(jax.devices()[:4], model_parallel=2)
+    b, l, d, heads, layers = 2, 36, 256, 4, 2   # b divides the dp axis
+    x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+
+    plain = tr.DiTStack(hidden_size=d, num_heads=heads, num_layers=layers,
+                        remat=False, attn_impl="auto", quant_int8=True)
+    tp = tr.DiTStack(hidden_size=d, num_heads=heads, num_layers=layers,
+                     remat=False, attn_impl="auto", quant_int8=True,
+                     tp_mesh=mesh)
+    params = plain.init(jax.random.PRNGKey(0), x, c)
+    out_plain = plain.apply(params, x, c)
+    with mesh:
+        out_tp = jax.jit(tp.apply)(params, x, c)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_plain),
+                               atol=2e-4, rtol=1e-3)
+    tr._make_packed_attn.cache_clear()
