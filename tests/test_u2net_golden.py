@@ -63,21 +63,34 @@ def converted_params():
     return out
 
 
-@pytest.mark.parametrize("size", [160, 88])
-def test_forward_matches_reference_execution(converted_params, size):
+@pytest.mark.parametrize("spec_name,size", [
+    ("u2netp", 160),
+    ("u2netp", 88),    # odd interior dims: exercises ceil-mode pooling
+    ("u2net", 64),     # FULL config: per-stage channel widths all differ
+])
+def test_forward_matches_reference_execution(converted_params, spec_name,
+                                             size):
+    from convert_u2net_weights import convert_state_dict
     fx = np.load(GOLDEN)
-    x = fx[f"u2netp_{size}/x"]                       # [1, 3, h, w] torch
-    ds = u2net.u2net_forward(converted_params,
-                             np.transpose(x, (0, 2, 3, 1)),
-                             spec=u2net.U2NETP)
+    spec = u2net.SPECS[spec_name]
+    if spec_name == "u2netp":
+        params = converted_params
+    else:
+        params = convert_state_dict(_torch_layout_sd(
+            u2net.synth_params(spec, seed=2025)))
+    x = fx[f"{spec_name}_{size}/x"]                  # [1, 3, h, w] torch
+    ds = u2net.u2net_forward(params, np.transpose(x, (0, 2, 3, 1)),
+                             spec=spec)
     assert len(ds) == 7
     for i, d in enumerate(ds):
-        want = np.transpose(fx[f"u2netp_{size}/d{i}"], (0, 2, 3, 1))
+        want = np.transpose(fx[f"{spec_name}_{size}/d{i}"], (0, 2, 3, 1))
         err = np.abs(np.asarray(d) - want)
         # f32 accumulation over ~50 conv+BN layers: tight on average,
         # loose-ish pointwise (measured max 6.8e-4 on this fixture)
-        assert float(err.max()) < 1.5e-3, f"d{i} size={size}: {err.max()}"
-        assert float(err.mean()) < 1e-5, f"d{i} size={size}: {err.mean()}"
+        assert float(err.max()) < 1.5e-3, f"d{i} {spec_name}@{size}: " \
+            f"{err.max()}"
+        assert float(err.mean()) < 1e-5, f"d{i} {spec_name}@{size}: " \
+            f"{err.mean()}"
 
 
 def test_param_shapes_full_and_lite():

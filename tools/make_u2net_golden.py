@@ -174,7 +174,10 @@ def npz_to_torch_sd(params: dict) -> dict:
 def main():
     torch.manual_seed(0)
     fx = {}
-    for spec_name, sizes in (("u2netp", (160, 88)),):
+    # u2netp at two sizes (88 drives odd dims through ceil-mode pools);
+    # the FULL config once at 64 — its per-stage channel widths differ
+    # (the lite variant's uniform 64ch would mask mis-wired RSU channels)
+    for spec_name, sizes in (("u2netp", (160, 88)), ("u2net", (64,))):
         spec = SPECS[spec_name]
         params = synth_params(spec, seed=2025)
         model = U2NET(spec)
