@@ -287,6 +287,14 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
     # writes artifacts only for its scenes (reference: DistributedSampler +
     # all_gather_batch, utils/misc.py:136-168)
     owned = eval_shard_indices(n_total)
+    # Lightning-parity trainer.limit_val_batches: int = batch count,
+    # float in (0, 1] = fraction of the eval set (debug_eval.sh uses it)
+    lim = cfg.trainer.get("limit_val_batches") if cfg.trainer else None
+    if lim is not None:
+        n_batches = -(-len(owned) // eval_bs)
+        keep = (max(1, int(round(n_batches * float(lim))))
+                if 0 < float(lim) < 1 else int(lim))
+        owned = owned[:keep * eval_bs]
     psnr_sum, view_count = 0.0, 0
     for i in range(0, len(owned), eval_bs):
         samples = [dataset[j] for j in owned[i:i + eval_bs]]

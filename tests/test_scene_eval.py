@@ -179,3 +179,27 @@ def test_allreduce_metric_sums_single_process():
     from open_diffusiongs_tpu.parallel.mesh import allreduce_metric_sums
     out = allreduce_metric_sums([1.5, 3.0])
     np.testing.assert_allclose(out, [1.5, 3.0])
+
+
+def test_limit_val_batches(re10k_fixture):
+    """trainer.limit_val_batches caps the eval loop (Lightning parity;
+    scripts/debug_eval.sh relies on it)."""
+    tmp, full_list = re10k_fixture
+    out = tmp / "outputs_lim"
+    cfg_path = tmp / "scene_lim.yaml"
+    cfg_path.write_text(SCENE_CFG.format(out=out, full_list=full_list))
+
+    r = _run(["launch.py", "--config", str(cfg_path), "--train",
+              "--max_steps", "1", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    trial = out / "tiny_scene" / "t"
+    r2 = _run(["launch.py", "--config", str(cfg_path), "--validate",
+               "--platform", "cpu", f"resume={trial / 'ckpts'}",
+               "trainer.limit_val_batches=1"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    save_dir = trial / "save" / "it1"
+    files = os.listdir(save_dir)
+    assert "scene0.png" in files
+    assert "scene1.png" not in files      # second scene skipped
+    val_metrics = json.load(open(save_dir / "val_metrics.json"))
+    assert val_metrics["num_views"] == 2  # 1 scene x 2 novel views
