@@ -328,3 +328,29 @@ def test_stdlib_container_gadgets_rejected(tmp_path):
         zf.writestr("archive/version", "3\n")
     with pytest.raises(NotImplementedError, match="safelist"):
         torch_load(str(path))
+
+
+def test_download_scene_ckpt_offline_flow(tmp_path, fake_torch):
+    """download_scene_ckpt.py --ckpt (the zero-egress path) converts a
+    reference .ckpt via the torch-free reader; without --ckpt and without
+    huggingface_hub it exits with clear instructions."""
+    import subprocess
+
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(8, 256)).astype(np.float32)
+    st = _FakeStorage("0", "FloatStorage", arr.reshape(-1))
+    sd = {"shape_model.t_embedder.mlp.0.weight": _FakeTensor(
+        st, arr.shape, (256, 1))}
+    ckpt_path = str(tmp_path / "scene.ckpt")
+    save_torch_zip(ckpt_path, {"state_dict": sd}, [st])
+    for k in ("torch", "torch._utils"):
+        sys.modules.pop(k, None)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "ckpts")
+    r = subprocess.run(
+        [sys.executable, "download_scene_ckpt.py", "--ckpt", ckpt_path,
+         "--out", out, "--convert-only"], cwd=repo,
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "converted_weights.npz"))
