@@ -138,10 +138,16 @@ class DiffusionGSPipeline:
         self._replicated_params = None
 
     @classmethod
-    def from_pretrained(cls, path: str, bf16: bool = True
+    def from_pretrained(cls, path: str, bf16: bool = True,
+                        overrides: Optional[list] = None
                         ) -> "DiffusionGSPipeline":
         """path: directory with config.yaml + ckpts/ (orbax)
-        (pipline_obj.py from_pretrained:53-83, local form)."""
+        (pipline_obj.py from_pretrained:53-83, local form).
+
+        overrides: launch.py-style dotlist entries applied on top of the
+        saved config — e.g. ["system.shape_model.quant_int8=true",
+        "system.raster.split_slots=2"] for serving-mode knobs that do not
+        change the parameter tree."""
         from .parallel.train_step import (OptimizerConfig, init_train_state,
                                           make_optimizer)
         from .utils.checkpoint import CheckpointManager
@@ -149,7 +155,8 @@ class DiffusionGSPipeline:
         import open_diffusiongs_tpu as pkg
         pkg._register_builtins()
 
-        cfg = load_config(os.path.join(path, "config.yaml"), makedirs=False)
+        cfg = load_config(os.path.join(path, "config.yaml"),
+                          cli_args=list(overrides or []), makedirs=False)
         system = build_system(cfg.system_type, cfg.system, bf16=bf16)
         th, tw = cfg.data.get("training_res", [256, 256])
         n_views = cfg.data.get("gen_views", 4)

@@ -35,6 +35,8 @@ _SHAPE_MODEL_MAP = {
     # outputs/residuals across the DiT backward (docs/PERF_NOTES.md)
     "remat_save_attn": "remat_save_attn",
     "remat_save_mlp": "remat_save_mlp",
+    # TPU-native extension: W8A8 int8 serving mode (ops/quant.py)
+    "quant_int8": "quant_int8",
     # TPU-side constants / unused reference knobs:
     "use_flash": None, "prior_distribution": None, "use_gssplat": None,
     "grad_checkpoint_every": None,

@@ -116,3 +116,14 @@ def test_pretrained_roundtrip(tmp_path, rng):
                opacity_thres=-1.0, crop_bbx=None)
     assert out.renders.shape[0] == 2
     assert np.isfinite(out.renders).all()
+
+    # serving-knob overrides apply on top of the saved config without
+    # touching the parameter tree (same checkpoint loads)
+    pipe_q = DiffusionGSPipeline.from_pretrained(
+        str(out_dir), bf16=False,
+        overrides=["system.shape_model.quant_int8=true"])
+    assert pipe_q.system.model.quant_int8 is True
+    np.testing.assert_array_equal(
+        np.asarray(pipe_q.params["params"]["transformer"]["layers"]["block"]
+                   ["attn"]["q"]["kernel"][1]), leaf)
+
