@@ -192,6 +192,39 @@ def bench_attention(l=16386, heads=16, dim=64, iters=20):
     return dt * 1e3, mfu
 
 
+def bench_raster_trained(res=512, render_views=3, iters=20):
+    """Full render of the trained-statistics population (docs/CAPACITY.md)
+    with split-stream binning off vs on — the configuration the eval
+    configs ship (`raster.split_slots: 2`).  bench.py's sampling sections
+    can't show this win: the random-weights model emits the init
+    population, whose ~100-tile rects stream B would clip
+    (docs/PERF_NOTES.md trained-statistics section)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from bench_raster import loop_timed, synth_gaussians
+
+    from __graft_entry__ import _orbit_cameras
+    from open_diffusiongs_tpu.ops import rasterize
+
+    h = w = res
+    g = synth_gaussians(4 * h * w, np.random.default_rng(0),
+                        stats="trained", res=res)
+    c2ws, fxy = _orbit_cameras(render_views, h=h, w=w)
+    c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
+    out = {}
+    for name, split in (("single", 0), ("split2", 2)):
+        cfg = rasterize.RasterizeConfig(max_per_tile=512,
+                                        split_slots=split)
+        fn = jax.jit(lambda gg, cw, fx, cfg=cfg: rasterize.render(
+            rasterize.Gaussians(*gg), cw, fx, h, w, cfg=cfg))
+        gt = tuple(g)
+        ms = loop_timed(
+            lambda e: fn(tuple([gt[0] + e] + list(gt[1:])), c2w, fxy),
+            iters=iters) * 1e3
+        out[name] = ms / render_views
+    return out
+
+
 def wait_for_device(max_tries: int = 40, probe_timeout: int = 90,
                     sleep_s: int = 120) -> None:
     """A crashed Mosaic compile can transiently wedge the remote TPU
@@ -320,6 +353,16 @@ def main():
             out["scene_compile_512_s"] = round(compile_s5, 1)
         except Exception as ex:  # noqa: BLE001
             out["error_scene512"] = str(ex)[:160]
+
+    print(json.dumps(out), flush=True)
+
+    if h == 256 and not os.environ.get("BENCH_SKIP_RASTER"):
+        try:  # trained-stats render: the split-stream binning win
+            tr = bench_raster_trained()
+            out["raster_trained_ms_view_single"] = round(tr["single"], 1)
+            out["raster_trained_ms_view_split2"] = round(tr["split2"], 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_raster"] = str(ex)[:160]
 
     print(json.dumps(out), flush=True)
 

@@ -179,3 +179,58 @@ def test_ring_denoiser_full_model():
     np.testing.assert_allclose(np.asarray(g_sp.opacity),
                                np.asarray(g_plain.opacity),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_ring_kernel_path_matches():
+    """Packed-kernel ring path (per-slice Pallas kernel + exp2-LSE combine,
+    interpret mode) == XLA full attention, pad keys in the tail shard."""
+    mesh = make_mesh(jax.devices()[:4], seq_parallel=4)
+    b, lp, h, dh, l_real = 2, 512, 4, 32, 400   # lq=128; tail lsub=16
+    rng = np.random.default_rng(6)
+    q, k, v = _rand_qkv(rng, b, lp, h * dh)
+    f = make_ring_attention(mesh, dh=dh, l_real=l_real, use_kernel=True)
+    with mesh:
+        out = jax.jit(f)(q, k, v)
+    ref = _ref(q, k, v, l_real, dh)
+    np.testing.assert_allclose(np.asarray(out)[:, :l_real],
+                               np.asarray(ref)[:, :l_real],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_kernel_path_no_pad_sp2():
+    """Kernel path with l_real == Lp: the no-cond single-instantiation
+    branch (lsub == lq)."""
+    mesh = make_mesh(jax.devices()[:2], seq_parallel=2)
+    b, lp, h, dh = 1, 512, 2, 64                # hps=2, h=2: eligible
+    rng = np.random.default_rng(7)
+    q, k, v = _rand_qkv(rng, b, lp, h * dh)
+    f = make_ring_attention(mesh, dh=dh, l_real=lp, use_kernel=True)
+    with mesh:
+        out = jax.jit(f)(q, k, v)
+    ref = _ref(q, k, v, lp, dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_kernel_path_gradients():
+    """Grads of the kernel path (custom_vjp -> XLA-ring backward) == XLA
+    attention grads."""
+    mesh = make_mesh(jax.devices()[:4], seq_parallel=4)
+    b, lp, h, dh, l_real = 1, 512, 4, 32, 450
+    rng = np.random.default_rng(8)
+    q, k, v = _rand_qkv(rng, b, lp, h * dh)
+    f = make_ring_attention(mesh, dh=dh, l_real=l_real, use_kernel=True)
+
+    def loss(fn):
+        def inner(q_, k_, v_):
+            return jnp.sum(fn(q_, k_, v_)[:, :l_real] ** 2)
+        return inner
+
+    with mesh:
+        g_ring = jax.jit(jax.grad(loss(f), argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(
+        loss(lambda a, bb, c: _ref(a, bb, c, l_real, dh)),
+        argnums=(0, 1, 2)))(q, k, v)
+    for gr, gx, nm in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gx),
+                                   atol=3e-5, rtol=1e-3, err_msg=nm)
