@@ -202,14 +202,25 @@ def _make_ring_attn(mesh, dh: int, l_real: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
-                      tp_mesh=None):
+                      tp_mesh=None, analytic_bwd: bool = False):
     """custom_vjp over the packed-layout flash kernel: primal forward is the
-    packed kernel on [b, Lp, h*d]; the differentiated path runs the
-    stats-exporting forward plus the ANALYTIC Pallas backward pair
-    (ops/attention.py::flash_mha_packed_bwd) — no splash fallback, no
-    re-run of the forward, and pad-row grads are exactly zero.  Off-TPU
-    both directions run the same kernels in interpret mode, so the CPU
-    test suite exercises the real training path.
+    packed kernel on [b, Lp, h*d].
+
+    The differentiated path has two routings:
+
+      * default (`analytic_bwd=False`): the vjp's forward runs splash
+        (XLA attention off-TPU) and the backward is splash's fused
+        backward — the round-2 proven configuration behind the measured
+        356 ms train step.
+      * `analytic_bwd=True`: stats-exporting packed forward + the
+        analytic Pallas backward pair (ops/attention.py::
+        flash_mha_packed_bwd) — no forward re-run, pad-row grads exactly
+        zero.  Correct (gradient-parity tested) but NOT the default: the
+        first on-device timing (2026-08-18, tools/bench_attn_bwd.py)
+        measured the pair at 1338 ms / 1% MFU at L=16386 — per-grid-step
+        overhead dominates at the (256, 256) blocks the 16 MiB VMEM scope
+        forces (docs/PERF_NOTES.md).  Flip the default only after the
+        kernels beat splash's fused backward on device.
 
     With `tp_mesh` (a dp x tp jax.sharding.Mesh) the whole thing is wrapped
     in shard_map: batch on the data axis, the head-major channel axis on
@@ -237,24 +248,45 @@ def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
                                 l_real=l_real, blocks=blocks,
                                 interpret=interpret)
 
-    def fwd(q, k, v):
-        o, lse = flash_mha_packed(q, k, v, num_heads=inner_heads,
-                                  l_real=l_real, blocks=blocks,
-                                  with_stats=True, interpret=interpret)
-        # Tag o/lse for the remat_save_attn policy: saving them lets the
-        # backward skip the forward-kernel re-run entirely (q/k/v are the
-        # cheap projections, recomputed).  lse is [b, Lp, h] f32 — tiny
-        # next to round 2's full splash-residual set.
-        from jax.ad_checkpoint import checkpoint_name
-        o = checkpoint_name(o, "attn_res")
-        lse = checkpoint_name(lse, "attn_res")
-        return o, (q, k, v, o, lse)
+    def ref_fn(q, k, v):
+        b, lp, hd = q.shape
+        dh = hd // inner_heads
+        q4 = q[:, :l_real].reshape(b, l_real, inner_heads, dh)
+        k4 = k[:, :l_real].reshape(b, l_real, inner_heads, dh)
+        v4 = v[:, :l_real].reshape(b, l_real, inner_heads, dh)
+        if jax.default_backend() == "tpu":
+            o4 = _splash_attention(q4 * dh ** -0.5, k4, v4)
+        else:
+            o4 = jax.nn.dot_product_attention(q4, k4, v4)
+        return jnp.pad(o4.reshape(b, l_real, hd),
+                       ((0, 0), (0, lp - l_real), (0, 0)))
 
-    def bwd(res, g):
-        q, k, v, o, lse = res
-        return flash_mha_packed_bwd(q, k, v, o, g, lse,
-                                    num_heads=inner_heads, l_real=l_real,
-                                    interpret=interpret)
+    if analytic_bwd:
+        def fwd(q, k, v):
+            o, lse = flash_mha_packed(q, k, v, num_heads=inner_heads,
+                                      l_real=l_real, blocks=blocks,
+                                      with_stats=True, interpret=interpret)
+            # Tag o/lse for the remat_save_attn policy: saving them lets
+            # the backward skip the forward-kernel re-run entirely (q/k/v
+            # are the cheap projections, recomputed).  lse is [b, Lp, h]
+            # f32 — tiny next to the splash-residual set.
+            from jax.ad_checkpoint import checkpoint_name
+            o = checkpoint_name(o, "attn_res")
+            lse = checkpoint_name(lse, "attn_res")
+            return o, (q, k, v, o, lse)
+
+        def bwd(res, g):
+            q, k, v, o, lse = res
+            return flash_mha_packed_bwd(q, k, v, o, g, lse,
+                                        num_heads=inner_heads,
+                                        l_real=l_real, interpret=interpret)
+    else:
+        def fwd(q, k, v):
+            out, vjp_fn = jax.vjp(ref_fn, q, k, v)
+            return _name_attn_residuals(out, vjp_fn)
+
+        def bwd(vjp_fn, g):
+            return vjp_fn(g)
 
     f.defvjp(fwd, bwd)
     if tp_mesh is None:
@@ -454,12 +486,13 @@ class DiTStack(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = True
     attn_impl: str = "auto"
-    # Under remat, keep the attention outputs + per-row lse as named
-    # checkpoints: the analytic backward (ops/attention.py::
-    # flash_mha_packed_bwd) then needs no forward-kernel re-run, only the
-    # cheap q/k/v projections.  Costs [L, width] bf16 + [Lp, heads] f32
-    # per layer; fits v5e-16GB at the flagship configs (on by default in
-    # shipped train configs since the analytic blend backward freed HBM).
+    # Under remat, keep the attention vjp residuals as named checkpoints:
+    # the backward then skips the per-layer attention forward re-run.
+    # With the default splash-routed vjp the residuals are splash's saved
+    # set; with analytic_bwd they shrink to (o, lse) — [L, width] bf16 +
+    # [Lp, heads] f32 per layer.  Fits v5e-16GB at the flagship configs
+    # (on by default in shipped train configs since the analytic blend
+    # backward freed HBM; measured −6%).
     remat_save_attn: bool = False
     # Additionally keep the fc1 (pre-gelu) hidden activations: backward
     # recomputes only LN/modulate/gelu, no block matmul re-runs.  Costs

@@ -400,14 +400,17 @@ def _packed_dims(hd: int, num_heads: int, l_real: int,
 
 
 def pick_packed_bwd_blocks(l: int) -> tuple[int, int]:
-    """Backward block sizes.  Conservative (512, 512): each head step of
-    the backward kernels holds ~5 live [bq, bkv] f32 tiles (qk, p, dp,
-    ds + casts) vs the forward's 2, so the forward's (1536, 512) choice
-    would triple the temporary VMEM — and a failed Mosaic compile wedges
-    the shared TPU backend for tens of minutes (docs/PERF_NOTES.md), so
-    the sweep starts safe.  Revisit on hardware with care."""
+    """Backward block sizes.  (256, 256): the first on-device compile
+    (2026-08-18) measured the dKV kernel's Mosaic stack at **35.73 MiB**
+    with (512, 512) blocks — over the 16 MiB scoped-VMEM limit (the dQ
+    kernel fit; dKV keeps roughly twice the live [bq, bkv] f32 tiles:
+    both p and ds per head across the unrolled hps loop, plus two
+    output accumulations).  Stack scales with bq*bkv, so (256, 256)
+    lands ~9 MiB with margin.  (512, 256) would still be ~18 MiB —
+    do not re-probe blindly; a failed compile costs a backend-recovery
+    wait."""
     del l
-    return 512, 512
+    return 256, 256
 
 
 def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
@@ -456,14 +459,21 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
         q_spec = pl.BlockSpec((bq, gc), lambda g, i, j: (i, g))
         kv_spec = pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g))
         st_spec = pl.BlockSpec((bq, 128), lambda g, i, j: (i, g))
+        # 32 MiB scoped-VMEM budget: the measured Mosaic stack is 17.21M
+        # for the dKV kernel at (256, 256) blocks (default scope 16M; the
+        # physical VMEM is far larger — this is the same knob the splash
+        # kernels raise).  First on-device compile measured 35.73M at
+        # (512, 512), see pick_packed_bwd_blocks.
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024)
         dq = pl.pallas_call(
             dq_kern,
             grid=(groups, nq, nkv),
             in_specs=[q_spec, kv_spec, kv_spec, q_spec, st_spec],
             out_specs=q_spec,
             out_shape=jax.ShapeDtypeStruct((lp, hd), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            compiler_params=cparams,
             interpret=interpret,
         )(qi, ki, vi, doi, sti)
         # dkv grid: kv block index j is the MIDDLE dim (resident output),
@@ -477,8 +487,7 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
             in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, st_spec2],
             out_specs=[kv_spec2, kv_spec2],
             out_shape=[jax.ShapeDtypeStruct((lp, hd), jnp.float32)] * 2,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            compiler_params=cparams,
             interpret=interpret,
         )(qi, ki, vi, doi, sti)
         return dq, dk, dv
