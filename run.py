@@ -25,6 +25,11 @@ def main():
     p.add_argument("--foreground-ratio", type=float, default=0.825)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--extract-mesh", action="store_true")
+    p.add_argument("--matting", default="u2net",
+                   choices=["u2net", "grabcut", "border"],
+                   help="background-removal method; u2net (reference "
+                        "parity) needs a converted weights NPZ — pass "
+                        "grabcut/border to acknowledge the fallback")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -68,6 +73,7 @@ def main():
                       foreground_ratio=args.foreground_ratio,
                       resolution=args.resolution,
                       extract_mesh=args.extract_mesh,
+                      matting=args.matting,
                       save_ply=[os.path.join(d, "gaussians.ply")
                                 for d in subdirs])
 

@@ -100,7 +100,7 @@ def test_grabcut_via_pipeline_preprocess(rng):
 
     from open_diffusiongs_tpu.pipeline import preprocess_image
     img, _ = _synthetic_scene(rng)
-    out = preprocess_image(Image.fromarray(img), size=64)
+    out = preprocess_image(Image.fromarray(img), size=64, matting="grabcut")
     assert out.shape == (3, 64, 64)
     # corners are white padding; the center row contains the object
     assert out[:, 0, 0].min() > 0.95
