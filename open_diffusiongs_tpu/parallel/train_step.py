@@ -37,30 +37,159 @@ class OptimizerConfig:
     eps: float = 1e-8
     weight_decay: float = 0.01
     grad_clip: float = 0.5
-    scheduler: str = "CosineAnnealingLR"
+    # either a plain name ("CosineAnnealingLR" / "constant") using
+    # t_max/eta_min below, or a full recursive spec dict
+    # {"name": ..., "args": {...}, "schedulers": [...], "milestones": [...]}
+    # mirroring the reference's parse_scheduler (utils/scheduler.py:55-104)
+    scheduler: Any = "CosineAnnealingLR"
     t_max: int = 500_000
     eta_min: float = 1e-6
     accumulate_grad_batches: int = 1
+    # per-module param groups (utils/scheduler.py:34-41): maps a param-tree
+    # path prefix (e.g. "denoiser.to_gs" — dots or slashes) to overrides
+    # like {"lr": ...}; params not matching any prefix use the top-level
+    # settings.  Longest prefix wins.
+    params: Any = None
+
+
+def parse_schedule(spec: Any, base_lr: float, t_max: int = 500_000,
+                   eta_min: float = 0.0):
+    """Recursive torch-lr_scheduler-surface parser -> optax schedule fn.
+
+    Mirrors the reference's parse_scheduler/parse_scheduler_to_instance
+    (utils/scheduler.py:55-104): SequentialLR switches sub-schedules at
+    `milestones` (each sub-schedule sees a step counter restarted at its
+    milestone, like torch); ChainedScheduler composes all sub-schedules'
+    multiplicative factors every step.  Leaf names cover every scheduler a
+    shipped or plausible config uses.
+    """
+    if spec is None or spec in ("", "constant"):
+        return lambda step: jnp.asarray(base_lr, jnp.float32)
+    if isinstance(spec, str):
+        spec = {"name": spec}
+    name = spec.get("name", "constant")
+    args = dict(spec.get("args", {}))
+
+    if name in ("SequentialLR", "Sequential"):
+        subs = [parse_schedule(s, base_lr, t_max, eta_min)
+                for s in spec["schedulers"]]
+        bounds = [float(m) for m in spec["milestones"]]
+        assert len(bounds) == len(subs) - 1, \
+            "SequentialLR needs len(schedulers)-1 milestones"
+
+        def seq(step):
+            step = jnp.asarray(step, jnp.float32)
+            idx = jnp.sum(jnp.asarray(
+                [step >= b for b in bounds], jnp.int32)) if bounds else 0
+            starts = jnp.asarray([0.0] + bounds, jnp.float32)
+            local = step - starts[idx]
+            vals = jnp.stack([s(local) for s in subs])
+            return vals[idx]
+        return seq
+
+    if name == "ChainedScheduler":
+        subs = [parse_schedule(s, base_lr, t_max, eta_min)
+                for s in spec["schedulers"]]
+
+        def chained(step):
+            factor = jnp.asarray(1.0, jnp.float32)
+            for s in subs:
+                factor = factor * (s(step) / base_lr)
+            return base_lr * factor
+        return chained
+
+    if name == "CosineAnnealingLR":
+        return cosine_annealing_lr(
+            base_lr, int(args.get("T_max", t_max)),
+            float(args.get("eta_min", eta_min)))
+    if name == "LinearLR":
+        sf = float(args.get("start_factor", 1.0 / 3.0))
+        ef = float(args.get("end_factor", 1.0))
+        total = float(args.get("total_iters", 5))
+        return lambda step: base_lr * (
+            sf + (ef - sf) * jnp.clip(
+                jnp.asarray(step, jnp.float32) / total, 0.0, 1.0))
+    if name == "ConstantLR":
+        f = float(args.get("factor", 1.0 / 3.0))
+        total = float(args.get("total_iters", 5))
+        return lambda step: base_lr * jnp.where(
+            jnp.asarray(step, jnp.float32) < total, f, 1.0)
+    if name == "ExponentialLR":
+        g = float(args["gamma"])
+        return lambda step: base_lr * jnp.power(
+            g, jnp.asarray(step, jnp.float32))
+    if name == "StepLR":
+        size = float(args["step_size"])
+        g = float(args.get("gamma", 0.1))
+        return lambda step: base_lr * jnp.power(
+            g, jnp.floor(jnp.asarray(step, jnp.float32) / size))
+    if name == "MultiStepLR":
+        ms = [float(m) for m in args["milestones"]]
+        g = float(args.get("gamma", 0.1))
+        return lambda step: base_lr * jnp.power(g, jnp.sum(jnp.asarray(
+            [jnp.asarray(step, jnp.float32) >= m for m in ms], jnp.float32)))
+    raise ValueError(f"unknown scheduler {name!r}")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
+def _base_transform(cfg: OptimizerConfig, lr) -> optax.GradientTransformation:
+    if cfg.name in ("AdamW", "FusedAdam"):
+        return optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                           weight_decay=cfg.weight_decay)
+    if cfg.name in ("Adam", "Adan"):
+        # Adan (the reference vendors apex's) ~ Adam surface here
+        return optax.adam(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
+    if cfg.name == "SGD":
+        return optax.sgd(lr)
+    raise ValueError(f"unknown optimizer {cfg.name}")
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
-    """Name-based optimizer/scheduler parsing (utils/scheduler.py:34-104)."""
-    if cfg.scheduler == "CosineAnnealingLR":
-        lr = cosine_annealing_lr(cfg.lr, cfg.t_max, cfg.eta_min)
-    elif cfg.scheduler in (None, "", "constant"):
-        lr = cfg.lr
-    else:
-        raise ValueError(f"unknown scheduler {cfg.scheduler}")
+    """Name-based optimizer/scheduler parsing (utils/scheduler.py:34-104).
 
-    if cfg.name in ("AdamW", "FusedAdam"):
-        opt = optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
-                          weight_decay=cfg.weight_decay)
-    elif cfg.name == "Adam":
-        opt = optax.adam(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
-    elif cfg.name == "SGD":
-        opt = optax.sgd(lr)
+    With `cfg.params` set, mirrors the reference's per-module param groups
+    (parse_optimizer, utils/scheduler.py:34-41) via optax.multi_transform:
+    each group gets its own lr/overrides, unmatched params use the default.
+    """
+    lr = parse_schedule(cfg.scheduler, cfg.lr, cfg.t_max, cfg.eta_min)
+
+    if cfg.params:
+        groups = dict(cfg.params)
+        transforms = {"__default__": _base_transform(cfg, lr)}
+        prefixes = {}
+        for gname, overrides in groups.items():
+            overrides = dict(overrides or {})
+            gcfg = dataclasses.replace(
+                cfg, params=None,
+                lr=float(overrides.pop("lr", cfg.lr)),
+                betas=tuple(overrides.pop("betas", cfg.betas)),
+                eps=float(overrides.pop("eps", cfg.eps)),
+                weight_decay=float(
+                    overrides.pop("weight_decay", cfg.weight_decay)))
+            glr = parse_schedule(gcfg.scheduler, gcfg.lr, gcfg.t_max,
+                                 gcfg.eta_min)
+            transforms[gname] = _base_transform(gcfg, glr)
+            prefixes[gname] = gname.replace(".", "/")
+
+        def label_fn(tree):
+            def label(path, _):
+                p = _path_str(path)
+                best, best_len = "__default__", -1
+                for gname, pref in prefixes.items():
+                    if ((p == pref or p.startswith(pref + "/")
+                         or ("/" + pref + "/") in ("/" + p + "/"))
+                            and len(pref) > best_len):
+                        best, best_len = gname, len(pref)
+                return best
+            return jax.tree_util.tree_map_with_path(label, tree)
+
+        opt = optax.multi_transform(transforms, label_fn)
     else:
-        raise ValueError(f"unknown optimizer {cfg.name}")
+        opt = _base_transform(cfg, lr)
 
     chain = []
     if cfg.grad_clip and cfg.grad_clip > 0:

@@ -128,6 +128,12 @@ def build_optimizer_config(system_cfg: Dict[str, Any],
     args = dict(opt.get("args", {}))
     sched = dict(system_cfg.get("scheduler", {}))
     sargs = dict(sched.get("args", {}))
+    # composite specs (SequentialLR/ChainedScheduler, utils/scheduler.py:
+    # 55-104) pass through whole for parse_schedule's recursion
+    if sched.get("schedulers"):
+        scheduler = sched
+    else:
+        scheduler = sched.get("name", "constant") or "constant"
     return OptimizerConfig(
         name=opt.get("name", "AdamW"),
         lr=float(args.get("lr", 1e-5)),
@@ -135,9 +141,11 @@ def build_optimizer_config(system_cfg: Dict[str, Any],
         eps=float(args.get("eps", 1e-8)),
         weight_decay=float(args.get("weight_decay", 0.01)),
         grad_clip=float(trainer_cfg.get("gradient_clip_val", 0.0) or 0.0),
-        scheduler=sched.get("name", "constant") or "constant",
+        scheduler=scheduler,
         t_max=int(sargs.get("T_max", 500_000)),
         eta_min=float(sargs.get("eta_min", 0.0)),
         accumulate_grad_batches=int(
             trainer_cfg.get("accumulate_grad_batches", 1)),
+        # per-module param groups (utils/scheduler.py:34-41)
+        params=opt.get("params") or None,
     )

@@ -5,6 +5,7 @@ tests/test_tpu_only.py and tools/bench_attn2.py."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def _ref(q, k, v):
@@ -86,6 +87,7 @@ def test_packed_asymmetric_blocks():
     assert _run_packed(1, 1400, 1536, 2, 64, (1536, 512)) < 2e-2
 
 
+@pytest.mark.slow
 def test_packed_wiring_through_dit_stack(monkeypatch):
     """Exercises the FULL packed path on CPU: DiTStack pads once, plumbs
     (packed_l, blocks) into Attention, runs the packed kernel (interpret),
@@ -260,6 +262,7 @@ def test_packed_scalar_max_large_scores():
     assert np.abs(out - ref).max() < 2e-2
 
 
+@pytest.mark.slow
 def test_packed_tp_through_dit_stack(monkeypatch):
     """TP integration: the shard_map'd packed attention composed with
     nn.scan + remat + custom_vjp through a DiTStack — forward AND grads on

@@ -31,6 +31,7 @@ def _model(**kw):
     return DGSDenoiser(**kwargs)
 
 
+@pytest.mark.slow
 def test_output_shapes_and_pixel_alignment(rng):
     model = _model()
     images, ray_o, ray_d, t = _inputs(rng)
@@ -114,6 +115,7 @@ def test_remat_matches_norremat(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_save_attn_plumbing_and_grads(rng):
     """remat_save_attn reaches DiTStack through the DGSDenoiser surface
     (bench.py BENCH_SAVE_ATTN / configs) and preserves values + gradients
@@ -138,6 +140,7 @@ def test_remat_save_attn_plumbing_and_grads(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_remat_save_mlp_plumbing_and_grads(rng):
     """remat_save_mlp (keep fc1 pre-gelu hidden; PERF_NOTES r3) reaches
     DiTStack through the DGSDenoiser surface and preserves values +

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from open_diffusiongs_tpu.diffusion import (create_schedule, p_sample_loop,
                                             q_posterior, q_sample,
                                             space_timesteps)
@@ -77,6 +79,7 @@ def test_posterior_t0_returns_xstart():
     np.testing.assert_allclose(np.asarray(mean), np.asarray(x0), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_p_sample_loop_runs_and_converges():
     # Dummy model: always "renders" a constant image c for every view.
     sched = create_schedule("10", diffusion_steps=100)

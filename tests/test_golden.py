@@ -11,6 +11,12 @@ import numpy as np
 from open_diffusiongs_tpu.ops import rasterize as rz
 from open_diffusiongs_tpu.ops.gaussians import Gaussians
 from utils3d import orbit_cameras, random_gaussians
+import pytest
+
+
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "render_300g_64px.npz")

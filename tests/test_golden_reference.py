@@ -23,6 +23,10 @@ import pytest
 
 from open_diffusiongs_tpu.models.denoiser import DGSDenoiser
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 

@@ -7,6 +7,7 @@ from scipy.spatial.transform import Rotation
 from open_diffusiongs_tpu.ops import gs_math
 from open_diffusiongs_tpu.ops import camera as cam_lib
 from utils3d import look_at
+import pytest
 
 
 def test_quat_to_rotmat_vs_scipy(rng):
@@ -48,6 +49,7 @@ def _ewa_numpy(mean, cov3d6, w2c, fx, fy, tanx, tany):
     return np.array([cov[0, 0] + 0.3, cov[0, 1], cov[1, 1] + 0.3])
 
 
+@pytest.mark.slow
 def test_ewa_cov2d_vs_numpy(rng):
     c2w = look_at((1.0, 0.8, -2.5))
     fxy = np.asarray([120.0, 110.0, 32.0, 30.0], np.float32)

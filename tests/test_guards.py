@@ -38,6 +38,7 @@ def _batch(h=16, w=16, v=2):
     }
 
 
+@pytest.mark.slow
 def test_lpips_weighted_without_weights_refuses_to_train():
     """Flagship-config shape: lambda_lpips ramps on at step 150 and no
     pretrained VGG exists -> train_loss must raise, not warn."""
@@ -51,6 +52,7 @@ def test_lpips_weighted_without_weights_refuses_to_train():
         sys_.train_loss(params, _batch(), jax.random.PRNGKey(1), 0)
 
 
+@pytest.mark.slow
 def test_lpips_explicit_waivers_allow_training():
     import jax
     for kw in (dict(use_lpips=False), dict(lambda_lpips=0.0),

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from open_diffusiongs_tpu.systems import losses as L
+import pytest
 
 
 def test_ssim_identity(rng):
@@ -31,6 +32,7 @@ def test_ssim_matches_reference_formula_flat_images():
     np.testing.assert_allclose(np.asarray(L.ssim(x, y))[0], expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_lpips_basic(rng):
     params = L.lpips_init_params(None)
     assert params["pretrained"] is False

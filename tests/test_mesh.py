@@ -70,6 +70,7 @@ def test_density_grid_peak_at_gaussian():
     assert d < 0.15
 
 
+@pytest.mark.slow
 def test_extract_mesh_end_to_end(tmp_path):
     rng = np.random.default_rng(0)
     # cloud of gaussians inside a 0.3-radius ball -> mesh around it

@@ -19,6 +19,12 @@ from open_diffusiongs_tpu.parallel.train_step import (OptimizerConfig,
 from open_diffusiongs_tpu.systems.object_system import (ObjectSystem,
                                                         ObjectSystemConfig)
 from utils3d import orbit_cameras, random_gaussians
+import pytest
+
+
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 H = W = 16
 V = 2

@@ -22,6 +22,12 @@ from open_diffusiongs_tpu.ops import rasterize as rz
 from open_diffusiongs_tpu.ops import rasterize_ref
 from open_diffusiongs_tpu.ops.gaussians import Gaussians
 from utils3d import orbit_cameras
+import pytest
+
+
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 H = W = 32  # 2x2 tiles
 

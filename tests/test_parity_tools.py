@@ -59,6 +59,7 @@ def test_rf_scheduler(rng):
     assert 0.3 < t.mean() < 0.7
 
 
+@pytest.mark.slow
 def test_ckpt_converter_roundtrip(rng):
     """Synthetic reference-shaped state_dict -> flax params; check the
     attention weights land where matmul semantics agree."""

@@ -12,6 +12,12 @@ import numpy as np
 
 from open_diffusiongs_tpu.parallel.mesh import make_mesh
 from open_diffusiongs_tpu.parallel.pipeline import pipeline_apply
+import pytest
+
+
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 
 def _toy_stage_fn(p_stack, x_mb, c_mb):

@@ -9,6 +9,10 @@ import sys
 import numpy as np
 import pytest
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CFG = """
@@ -113,7 +117,7 @@ def test_pretrained_roundtrip(tmp_path, rng):
     img[..., 3] = 255
     from PIL import Image
     out = pipe(Image.fromarray(img, "RGBA"), resolution=16, n_views=2,
-               opacity_thres=-1.0, crop_bbx=None)
+               opacity_thres=-1.0, crop_bbx=None, matting="border")
     assert out.renders.shape[0] == 2
     assert np.isfinite(out.renders).all()
 

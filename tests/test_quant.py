@@ -13,6 +13,10 @@ from flax import linen as nn
 
 from open_diffusiongs_tpu.ops.quant import QuantDense, int8_matmul
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 
 def test_int8_matmul_accuracy(rng):
     x = jnp.asarray(rng.normal(0, 1.0, (64, 512)), jnp.float32)

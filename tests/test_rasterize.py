@@ -11,6 +11,10 @@ from open_diffusiongs_tpu.ops import rasterize_ref as rz_ref
 from open_diffusiongs_tpu.ops.gaussians import Gaussians
 from utils3d import orbit_cameras, random_gaussians
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 H = W = 64
 CFG = rz.RasterizeConfig(max_tiles_per_gaussian=32, max_per_tile=256,
                          blend_chunk=32)

@@ -12,6 +12,12 @@ import numpy as np
 
 from open_diffusiongs_tpu.parallel.mesh import make_mesh
 from open_diffusiongs_tpu.parallel.ring import make_ring_attention
+import pytest
+
+
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 
 def _ref(q, k, v, l_real, dh):

@@ -31,6 +31,10 @@ from open_diffusiongs_tpu.utils.checkpoint import (CheckpointManager,
                                                    load_weights_file)
 from utils3d import orbit_cameras
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 H = W = 16
 V = 2
 TINY = dict(width=64, patch_size=8, n_gaussians=2, dim_heads=32,

@@ -16,6 +16,10 @@ from open_diffusiongs_tpu.systems.object_system import (ObjectSystem,
                                                         ObjectSystemConfig)
 from utils3d import orbit_cameras
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 H = W = 16
 V_IN, V_SUP = 2, 3
 

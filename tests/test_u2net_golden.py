@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 from open_diffusiongs_tpu.utils import u2net  # noqa: E402
 
+# interpret-mode Pallas kernels / subprocess / multi-second jits:
+# fast sweep is `pytest -m "not slow"` (pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "golden", "reference_u2net.npz")
 
