@@ -47,7 +47,17 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if os.environ.get("JAX_COORDINATOR"):
-        jax.distributed.initialize()
+        # "host:port" -> explicit wiring (with JAX_NUM_PROCESSES /
+        # JAX_PROCESS_ID); any other truthy value -> jax's cluster
+        # auto-detection (TPU pod metadata / SLURM / OMPI).
+        coord = os.environ["JAX_COORDINATOR"]
+        if ":" in coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
     import jax.numpy as jnp
 
     from open_diffusiongs_tpu.utils.cache import enable_persistent_cache
