@@ -36,6 +36,20 @@ def main():
     ap.add_argument("--config", default="configs/diffusionGS_scene.yaml")
     ap.add_argument("--convert-only", action="store_true",
                     help="stop after the NPZ conversion (no pretrained dir)")
+    ap.add_argument("--evaluate", action="store_true",
+                    help="after the pretrained dir is built, run the FULL "
+                         "reference protocol: launch.py --validate on the "
+                         "converted weights, then eval_scene_result.py -> "
+                         "RE10K PSNR/SSIM/LPIPS (README.md:160-193 of the "
+                         "reference; its published scene_ckpt_256 numbers "
+                         "are 21.26 dB / 0.672 / 0.257)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="dotlist config override passed to launch.py "
+                         "(repeatable), e.g. data.local_eval_dir=...")
+    ap.add_argument("--protocol", choices=("reference", "strict"),
+                    default="reference")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform for the evaluate leg")
     args = ap.parse_args()
 
     ckpt = args.ckpt
@@ -64,12 +78,63 @@ def main():
     if args.convert_only:
         print(f"converted weights: {conv}")
         return
-    subprocess.run(
-        [sys.executable, os.path.join(here, "tools",
-                                      "make_pretrained_dir.py"),
-         "--weights", conv, "--config", args.config, "--out",
-         os.path.join(args.out, "pretrained")], check=True)
-    print(f"pretrained dir ready: {os.path.join(args.out, 'pretrained')}")
+    pretrained = os.path.join(args.out, "pretrained")
+    mpd_cmd = [sys.executable,
+               os.path.join(here, "tools", "make_pretrained_dir.py"),
+               "--weights", conv, "--config", args.config,
+               "--out", pretrained]
+    if args.platform:
+        mpd_cmd += ["--platform", args.platform]
+    subprocess.run(mpd_cmd, check=True)
+    print(f"pretrained dir ready: {pretrained}")
+    if args.evaluate:
+        evaluate(here, pretrained, args)
+
+
+def evaluate(here: str, pretrained: str, args) -> None:
+    """launch.py --validate on the converted weights, then the metric CLI.
+
+    This is the reference's eval protocol in one leg (README.md:160-193:
+    test.sh -> eval_scene_result.py): every val scene is sampled, views are
+    dumped as npz, and PSNR/SSIM(/LPIPS when weights exist) are computed
+    over them.  Writes <pretrained>/../eval/eval_result.json and prints a
+    PARITY row."""
+    import glob
+    import json
+
+    overrides = list(args.override)
+    launch_cmd = [sys.executable, os.path.join(here, "launch.py"),
+                  "--config", os.path.join(pretrained, "config.yaml"),
+                  "--validate", f"resume={os.path.join(pretrained, 'ckpts')}"]
+    if args.platform:
+        launch_cmd += ["--platform", args.platform]
+    launch_cmd += overrides
+    subprocess.run(launch_cmd, check=True)
+
+    # locate the trial dir the validate run used (same config + overrides)
+    sys.path.insert(0, here)
+    from open_diffusiongs_tpu.utils.config import load_config
+    cfg = load_config(os.path.join(pretrained, "config.yaml"),
+                      cli_args=overrides, makedirs=False)
+    save_dirs = sorted(glob.glob(os.path.join(cfg.trial_dir, "save", "it*")),
+                       key=os.path.getmtime)
+    assert save_dirs, f"validate produced no save dir under {cfg.trial_dir}"
+    result_dir = save_dirs[-1]
+
+    eval_cmd = [sys.executable, os.path.join(here, "eval_scene_result.py"),
+                "--result_dir", result_dir, "--protocol", args.protocol]
+    if args.platform:
+        eval_cmd += ["--platform", args.platform]
+    subprocess.run(eval_cmd, check=True)
+
+    result = json.load(open(os.path.join(result_dir, "eval_result.json")))
+    row = {"benchmark": "RE10K", "protocol": result["protocol"],
+           "psnr": result.get("psnr"), "ssim": result.get("ssim"),
+           "lpips": result.get("lpips"),
+           "num_scenes": result.get("num_scenes"),
+           "reference_published": {"psnr": 21.26, "ssim": 0.672,
+                                   "lpips": 0.257}}
+    print("PARITY_ROW " + json.dumps(row))
 
 
 if __name__ == "__main__":

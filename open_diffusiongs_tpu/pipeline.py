@@ -181,7 +181,11 @@ class DiffusionGSPipeline:
         th, tw = cfg.data.get("training_res", [256, 256])
         n_views = cfg.data.get("gen_views", 4)
         params = system.init_params(jax.random.PRNGKey(0), th, tw, v=n_views)
-        tx = make_optimizer(OptimizerConfig())
+        # same optimizer the config trains with, so the restored opt_state
+        # tree matches whatever make_pretrained_dir / training checkpointed
+        from .systems.builder import build_optimizer_config
+        tx = make_optimizer(build_optimizer_config(cfg.system,
+                                                   dict(cfg.trainer)))
         state = init_train_state(params, tx, ema_decay=0.9999)
         mngr = CheckpointManager(os.path.join(path, "ckpts"))
         state = mngr.restore(state)

@@ -46,3 +46,36 @@ def make_gobjaverse_tree(tmp_path, rng, n_views: int = 40, res: int = 32,
             nd[..., 3] = rng.uniform(1.8, 2.8, (h, w))
             write_exr(str(prefix) + "_nd.exr", nd, ["R", "G", "B", "A"])
     return root, img_dir
+
+
+def make_re10k_tree(tmp_path, rng, n_scenes: int = 2, n_frames: int = 6,
+                    res=(24, 32)):
+    """Miniature RE10K-convention tree (the layout data/re10k.py consumes:
+    per-scene metadata json with frames + a full_list.txt).  Returns the
+    full_list.txt path."""
+    h, w = res
+    meta_dir = tmp_path / "metadata"
+    img_dir = tmp_path / "images"
+    meta_dir.mkdir(exist_ok=True)
+    paths = []
+    for s in range(n_scenes):
+        sd = img_dir / f"scene{s}"
+        sd.mkdir(parents=True)
+        frames = []
+        for i in range(n_frames):
+            arr = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+            p = sd / f"{i:05d}.png"
+            Image.fromarray(arr).save(p)
+            ang = 0.1 * i
+            w2c = np.eye(4)
+            w2c[:3, 3] = [0.1 * np.cos(ang), 0.05 * np.sin(ang), 0.2 * i]
+            frames.append({"image_path": str(p),
+                           "fxfycxcy": [30.0, 30.0, w / 2.0, h / 2.0],
+                           "w2c": w2c.tolist()})
+        mp = meta_dir / f"scene{s}.json"
+        mp.write_text(json.dumps({"scene_name": f"scene{s}",
+                                  "frames": frames}))
+        paths.append(str(mp))
+    full_list = tmp_path / "full_list.txt"
+    full_list.write_text("\n".join(paths) + "\n")
+    return full_list

@@ -53,7 +53,11 @@ def main():
     params = system.init_params(jax.random.PRNGKey(0), th, tw, v=n_views)
     params = load_converted_params(args.weights, params)
 
-    tx = make_optimizer(OptimizerConfig())
+    # the optimizer must come from the SAME config launch.py will use, or
+    # the saved opt_state tree won't match at `resume=` restore time
+    from open_diffusiongs_tpu.systems.builder import build_optimizer_config
+    tx = make_optimizer(build_optimizer_config(cfg.system,
+                                               dict(cfg.trainer)))
     state = init_train_state(params, tx, ema_decay=0.9999)
 
     os.makedirs(args.out, exist_ok=True)
