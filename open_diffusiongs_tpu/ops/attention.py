@@ -309,22 +309,30 @@ def _bwd_load_kv(k_ref, v_ref, j, *, bkv: int, l_real: int, masked: bool):
 
 
 def _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref, *, dh: int):
-    """Recompute one head's [bq, bkv] probability tile P and softmax
-    gradient dS = P*(dP - delta) from the forward stats (st columns 2s =
-    exp2-domain lse, 2s+1 = delta = rowsum(dO*O) of head s).  Both are
-    returned cast to the input dtype so the consuming matmuls run as
-    single-pass bf16 MXU ops on TPU (f32 under the f32 tests)."""
+    """Recompute one head's TRANSPOSED [bkv, bq] probability tile Pᵀ and
+    softmax gradient dSᵀ = Pᵀ*(dPᵀ - delta) from the forward stats (stT
+    rows 2s = exp2-domain lse, 2s+1 = delta = rowsum(dO*O) of head s).
+
+    The transposed orientation is the whole performance story of this
+    backward: lse/delta are per-*q-row* facts, and in the [bq, bkv]
+    orientation they must lane-broadcast from a 1-wide column — which
+    Mosaic lowers catastrophically (measured 685.8 -> 50.6 ms/pair at
+    L=16386 when the broadcast is removed, docs/PERF_NOTES.md round 4).
+    With q on the LANE axis they enter as [1, bq] rows and broadcast along
+    sublanes for free, and every consuming matmul (dQ = dSᵀᵀ·K,
+    dV = Pᵀ·dO, dK = dSᵀ·Q) contracts natively off the transposed tiles —
+    no transposes anywhere.  Both outputs are cast to the input dtype so
+    the matmuls run as single-pass bf16 MXU ops on TPU."""
     hc = slice(s * dh, (s + 1) * dh)
-    qk = lax.dot_general(qs[:, hc], k_blk[:, hc], _NT,
-                         preferred_element_type=jnp.float32)
-    n = qk.shape[-1]
-    lse = jnp.tile(st_ref[:, 2 * s:2 * s + 1], (1, n))
-    dlt = jnp.tile(st_ref[:, 2 * s + 1:2 * s + 2], (1, n))
-    p = jnp.exp2(qk - lse)
-    dp = lax.dot_general(do_blk[:, hc], v_blk[:, hc], _NT,
-                         preferred_element_type=jnp.float32)
-    ds = p * (dp - dlt)
-    return hc, p.astype(do_blk.dtype), ds.astype(qs.dtype)
+    qk_t = lax.dot_general(k_blk[:, hc], qs[:, hc], _NT,
+                           preferred_element_type=jnp.float32)  # [bkv, bq]
+    lse = st_ref[2 * s:2 * s + 1, :]                            # [1, bq]
+    dlt = st_ref[2 * s + 1:2 * s + 2, :]
+    p_t = jnp.exp2(qk_t - lse)
+    dp_t = lax.dot_general(v_blk[:, hc], do_blk[:, hc], _NT,
+                           preferred_element_type=jnp.float32)  # [bkv, bq]
+    ds_t = p_t * (dp_t - dlt)
+    return hc, p_t.astype(do_blk.dtype), ds_t.astype(qs.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, st_ref, dq_ref, *,
@@ -346,9 +354,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, st_ref, dq_ref, *,
     qs = (q_ref[...].astype(jnp.float32) * scale).astype(q_ref.dtype)
     do_blk = do_ref[...]
     for s in range(hps):
-        hc, _, ds = _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref, dh=dh)
-        dq_ref[:, hc] += lax.dot_general(
-            ds, k_blk[:, hc], _NN, preferred_element_type=jnp.float32)
+        hc, _, ds_t = _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref,
+                                   dh=dh)
+        dq_ref[:, hc] += lax.dot_general(                 # dSᵀᵀ·K: [bq, dh]
+            ds_t, k_blk[:, hc], _TN, preferred_element_type=jnp.float32)
 
     @pl.when(j == nkv - 1)
     def _fin():
@@ -375,11 +384,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, st_ref, dk_ref, dv_ref, *,
     qs = (q_ref[...].astype(jnp.float32) * scale).astype(q_ref.dtype)
     do_blk = do_ref[...]
     for s in range(hps):
-        hc, p, ds = _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref, dh=dh)
-        dv_ref[:, hc] += lax.dot_general(
-            p, do_blk[:, hc], _TN, preferred_element_type=jnp.float32)
-        dk_ref[:, hc] += lax.dot_general(
-            ds, qs[:, hc], _TN, preferred_element_type=jnp.float32)
+        hc, p_t, ds_t = _bwd_head_ds(s, qs, k_blk, v_blk, do_blk, st_ref,
+                                     dh=dh)
+        dv_ref[:, hc] += lax.dot_general(                 # Pᵀ·dO: [bkv, dh]
+            p_t, do_blk[:, hc], _NN, preferred_element_type=jnp.float32)
+        dk_ref[:, hc] += lax.dot_general(                 # dSᵀ·Q: [bkv, dh]
+            ds_t, qs[:, hc], _NN, preferred_element_type=jnp.float32)
 
     @pl.when(i == nq - 1)
     def _fin():
@@ -400,23 +410,33 @@ def _packed_dims(hd: int, num_heads: int, l_real: int,
 
 
 def pick_packed_bwd_blocks(l: int) -> tuple[int, int]:
-    """Backward block sizes.  (256, 256): the first on-device compile
-    (2026-08-18) measured the dKV kernel's Mosaic stack at **35.73 MiB**
-    with (512, 512) blocks — over the 16 MiB scoped-VMEM limit (the dQ
-    kernel fit; dKV keeps roughly twice the live [bq, bkv] f32 tiles:
-    both p and ds per head across the unrolled hps loop, plus two
-    output accumulations).  Stack scales with bq*bkv, so (256, 256)
-    lands ~9 MiB with margin.  (512, 256) would still be ~18 MiB —
-    do not re-probe blindly; a failed compile costs a backend-recovery
-    wait."""
+    """Backward block sizes.  History: the first on-device compile
+    (2026-08-18) hit the 16 MiB default VMEM scope at (512, 512) (dKV
+    Mosaic stack 35.73 MiB) and fell back to (256, 256) — which measured
+    1338 ms/pair at L=16386: ~70k grid steps of ~17 MFLOP each, pure
+    per-step overhead (docs/PERF_NOTES.md round-4 sweep).  The fix was
+    never the blocks alone: raising the scope to 64 MiB and widening the
+    sweep settles the defaults recorded here."""
     del l
-    return 256, 256
+    return 512, 512
+
+
+def pick_packed_bwd_gc(l: int) -> int:
+    """Head-group width for the backward kernels.  Wider groups cut grid
+    steps linearly (groups = h*dh/gc) — and unlike the forward (whose
+    per-step work is already MXU-bound at gc=128), the backward at
+    modest blocks is overhead-bound, so width pays until the unrolled
+    per-head tile set blows the VMEM scope (see the round-4 sweep in
+    docs/PERF_NOTES.md)."""
+    del l
+    return 128
 
 
 def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
                          l_real: int,
                          blocks: tuple[int, int] | None = None,
                          group_cols: int | None = None,
+                         vmem_limit_mb: int | None = None,
                          interpret: bool = False):
     """Analytic (dq, dk, dv) for `flash_mha_packed` — the training-path
     backward (reference analogue: xformers' fused flash backward behind
@@ -438,7 +458,9 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
     attention backward trade; the CUDA reference backward makes the same
     split."""
     b, lp, hd = q.shape
-    dh, gc, hps, groups = _packed_dims(hd, num_heads, l_real, group_cols)
+    dh, gc, hps, groups = _packed_dims(
+        hd, num_heads, l_real,
+        group_cols if group_cols is not None else pick_packed_bwd_gc(l_real))
     bq, bkv = blocks or pick_packed_bwd_blocks(l_real)
     assert lp % bq == 0 and lp % bkv == 0, (lp, bq, bkv)
     nq, nkv = lp // bq, lp // bkv
@@ -455,18 +477,22 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
     dq_kern = functools.partial(_bwd_dq_kernel, nkv=nkv, **kw)
     dkv_kern = functools.partial(_bwd_dkv_kernel, nq=nq, **kw)
 
+    band_h = _stats_band_h(hps)
+
     def run(qi, ki, vi, doi, sti):
         q_spec = pl.BlockSpec((bq, gc), lambda g, i, j: (i, g))
         kv_spec = pl.BlockSpec((bkv, gc), lambda g, i, j: (j, g))
-        st_spec = pl.BlockSpec((bq, 128), lambda g, i, j: (i, g))
-        # 32 MiB scoped-VMEM budget: the measured Mosaic stack is 17.21M
-        # for the dKV kernel at (256, 256) blocks (default scope 16M; the
-        # physical VMEM is far larger — this is the same knob the splash
-        # kernels raise).  First on-device compile measured 35.73M at
-        # (512, 512), see pick_packed_bwd_blocks.
+        st_spec = pl.BlockSpec((band_h, bq), lambda g, i, j: (g, i))
+        # Scoped-VMEM budget: the dKV kernel's Mosaic stack is far larger
+        # than the naive tile arithmetic (measured 17.21M at (256, 256),
+        # 35.73M at (512, 512) — default scope is 16M; physical VMEM is
+        # 128M).  Keeping the limit below physical makes an oversized
+        # stack fail GRACEFULLY (scoped-allocation error) instead of
+        # wedging the remote backend.  64M admits the (512, 512) blocks
+        # the overhead sweep favors.
         cparams = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=32 * 1024 * 1024)
+            vmem_limit_bytes=(vmem_limit_mb or 64) * 1024 * 1024)
         dq = pl.pallas_call(
             dq_kern,
             grid=(groups, nq, nkv),
@@ -480,7 +506,7 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
         # q sweep i is inner — index maps swap their grid arguments.
         q_spec2 = pl.BlockSpec((bq, gc), lambda g, j, i: (i, g))
         kv_spec2 = pl.BlockSpec((bkv, gc), lambda g, j, i: (j, g))
-        st_spec2 = pl.BlockSpec((bq, 128), lambda g, j, i: (i, g))
+        st_spec2 = pl.BlockSpec((band_h, bq), lambda g, j, i: (g, i))
         dk, dv = pl.pallas_call(
             dkv_kern,
             grid=(groups, nkv, nq),
@@ -499,16 +525,27 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
     return dq, dk, dv
 
 
+def _stats_band_h(hps: int) -> int:
+    """Sublane rows per group band of the transposed stats (2 per head,
+    padded to the f32 sublane granularity of 8)."""
+    return -(-2 * hps // 8) * 8
+
+
 def _interleave_stats(lse, delta, *, groups: int, hps: int):
     """Interleave per-head lse/delta [b, Lp, h] f32 into the backward
-    kernels' [b, Lp, 128*groups] stats layout (columns 2s / 2s+1 of each
-    group's 128-column band for in-group head s)."""
+    kernels' TRANSPOSED [b, band_h*groups, Lp] stats layout: within each
+    group's band, row 2s = lse and row 2s+1 = delta of in-group head s.
+    Token index rides the LANE axis, so the kernels consume each stat as
+    a [1, bq] row that broadcasts along sublanes for free (the [bq, 1]
+    lane-broadcast this replaces measured 13x slower — see _bwd_head_ds)."""
     b, lp, h = lse.shape
-    st = jnp.stack([lse.reshape(b, lp, groups, hps),
-                    delta.reshape(b, lp, groups, hps)], axis=-1)
-    st = st.reshape(b, lp, groups, 2 * hps)
-    st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, 128 - 2 * hps)))
-    return st.reshape(b, lp, 128 * groups)
+    band_h = _stats_band_h(hps)
+    st = jnp.stack([lse.transpose(0, 2, 1).reshape(b, groups, hps, lp),
+                    delta.transpose(0, 2, 1).reshape(b, groups, hps, lp)],
+                   axis=3)                       # [b, g, hps, 2, Lp]
+    st = st.reshape(b, groups, 2 * hps, lp)
+    st = jnp.pad(st, ((0, 0), (0, 0), (0, band_h - 2 * hps), (0, 0)))
+    return st.reshape(b, band_h * groups, lp)
 
 
 def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
@@ -570,8 +607,12 @@ def flash_mha_packed(q, k, v, *, num_heads: int, l_real: int,
                 pltpu.VMEM((bq, gc), qi.dtype),
                 pltpu.VMEM((bkv, 128 * hps), vi.dtype),
             ],
+            # 32M scope: the stats variant's extra f32 output column pushes
+            # the (1536, 768) blocks at Lp=4608 to 16.80M, just past the
+            # 16M default (measured on-device 2026-08-19, graceful error)
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=interpret,
         )(qi, ki, vi)
 

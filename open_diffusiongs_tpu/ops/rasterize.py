@@ -367,7 +367,35 @@ def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
     rank_bits = max(1, (n - 1).bit_length())               # depth rank < n
     tile_bits = (num_tiles + 1 - 1).bit_length()           # incl. sentinel
     if (0 < cfg.split_slots < d_slots) and rank_bits + tile_bits <= 32:
-        return _bin_tiles_split(pre, tiles_x, tiles_y, cfg)
+        # Adaptive guard (makes split_slots safe for TRAINING, where early
+        # steps have init statistics with E[rect area] ~ 100 tiles): when
+        # the big-rect census exceeds stream B's selection capacity, the
+        # split path would clip real coverage — run the exact single-stream
+        # sort for this view instead.  Both branches trace (compile cost),
+        # execution picks per view by the actual population, so a config
+        # can leave split_slots: 2 on for a whole run: init-stats steps
+        # ride stream-free binning, converged steps get the ~2x bin win.
+        x0t, y0t = pre.rect[:, 0], pre.rect[:, 1]
+        area_t = (pre.rect[:, 2] - x0t) * (pre.rect[:, 3] - y0t)
+        n_big = jnp.sum((pre.valid & (area_t > cfg.split_slots))
+                        .astype(jnp.int32))
+        m_big = min(cfg.big_select or max(1, n // 8), n)
+        single = functools.partial(_bin_tiles_single, tiles_x=tiles_x,
+                                   tiles_y=tiles_y, cfg=cfg)
+        split = functools.partial(_bin_tiles_split, tiles_x=tiles_x,
+                                  tiles_y=tiles_y, cfg=cfg)
+        return jax.lax.cond(n_big <= m_big, split, single, pre)
+    return _bin_tiles_single(pre, tiles_x, tiles_y, cfg)
+
+
+def _bin_tiles_single(pre: PreprocessedView, tiles_x: int, tiles_y: int,
+                      cfg: RasterizeConfig) -> TileBins:
+    """Single-stream N*D-key binning (the exact baseline path)."""
+    n = pre.depth.shape[0]
+    d_slots = cfg.max_tiles_per_gaussian
+    num_tiles = tiles_x * tiles_y
+    rank_bits = max(1, (n - 1).bit_length())
+    tile_bits = (num_tiles + 1 - 1).bit_length()
 
     # Emit tile rows from the ORIGINAL (unsorted) arrays — no gathers; the
     # CUDA (tile, depth-bits) radix order is reproduced by packing each

@@ -414,16 +414,19 @@ def test_packed_bwd_huge_pad_garbage():
     _bwd_case(1, 300, 512, 2, 64, seed=4, pad_fill=1e4)
 
 
-def test_packed_vjp_matches_xla_grads():
+@pytest.mark.parametrize("analytic_bwd", [False, True])
+def test_packed_vjp_matches_xla_grads(analytic_bwd):
     """The full custom_vjp (models/transformer.py::_make_packed_attn) under
     jax.grad — against the XLA path, including a loss that only reads the
-    real rows."""
+    real rows.  Both vjp routings stay gradient-parity tested: the analytic
+    Pallas pair (the TPU default since round 4) and the splash/XLA
+    fallback."""
     from open_diffusiongs_tpu.models.transformer import _make_packed_attn
     b, l, lp, h, dh = 1, 300, 512, 2, 64
     rng = np.random.default_rng(5)
     q, k, v = (jnp.asarray(rng.normal(size=(b, lp, h * dh)), jnp.float32)
                for _ in range(3))
-    f = _make_packed_attn(h, l, (512, 512))
+    f = _make_packed_attn(h, l, (512, 512), analytic_bwd=analytic_bwd)
 
     def loss(fn):
         return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_)[:, :l] ** 2)

@@ -193,16 +193,22 @@ def test_split_binning_exact_vs_single_stream(rng):
 
 
 def test_split_binning_capped_counters(rng):
-    """Undersized big_select / big_per_tile must surface in the overflow
-    counters (never silent), and rendering must still run."""
+    """Undersized big_select triggers the adaptive single-stream fallback
+    (bin_tiles' lax.cond guard): the render and its counters must equal
+    the exact single-stream path bit-for-bit — the cap can never clip
+    real coverage."""
     g = _mixed_population(rng)
     c2ws, fxy = orbit_cameras(1, h=H, w=W)
     c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
-    cfg = rz.RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
-                             blend_chunk=32, split_slots=4, big_select=16,
-                             big_per_tile=8)
-    out = rz.render(g, c2w, fxy, H, W, cfg=cfg)
-    assert int(out["overflow_tiles"]) > 0  # unselected big rect slots
+    base = rz.RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                              blend_chunk=32)
+    capped = base._replace(split_slots=4, big_select=16, big_per_tile=8)
+    out = rz.render(g, c2w, fxy, H, W, cfg=capped)
+    ref = rz.render(g, c2w, fxy, H, W, cfg=base)
+    np.testing.assert_array_equal(np.asarray(out["render"]),
+                                  np.asarray(ref["render"]))
+    assert int(out["overflow_tiles"]) == int(ref["overflow_tiles"])
+    assert int(out["binned_entries"]) == int(ref["binned_entries"])
     assert np.isfinite(np.asarray(out["render"])).all()
 
 

@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--bq", type=int, default=0, help="bwd q block override")
     ap.add_argument("--bkv", type=int, default=0)
+    ap.add_argument("--gc", type=int, default=0, help="bwd head-group cols")
+    ap.add_argument("--vmem", type=int, default=0, help="bwd VMEM scope MiB")
+    ap.add_argument("--bwd-only", action="store_true",
+                    help="skip fwd/value_and_grad sections (sweep mode)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--check", action="store_true",
                     help="grad parity vs splash backward on device")
@@ -78,8 +82,14 @@ def main():
     # fwd: 2 matmul passes per score element; bwd: 5 (qk, dp, dq, dk, dv)
     fwd_flops = 4.0 * l * l * hd
     bwd_flops = 10.0 * l * l * hd
+    bwd_kw = dict(blocks=bwd_blocks)
+    if args.gc:
+        bwd_kw["group_cols"] = args.gc
+    if args.vmem:
+        bwd_kw["vmem_limit_mb"] = args.vmem
     results = {"l": l, "lp": lp, "fwd_blocks": fwd_blocks,
-               "bwd_blocks": bwd_blocks}
+               "bwd_blocks": bwd_blocks, "gc": args.gc or 128,
+               "vmem_mb": args.vmem or 64}
 
     def rec(name, t, flops=None):
         results[name] = {"ms": round(t * 1e3, 2)}
@@ -87,16 +97,17 @@ def main():
             results[name]["mfu_pct"] = round(100 * flops / t / PEAK_BF16, 1)
         print(name, results[name], flush=True)
 
-    fwd = lambda e: at.flash_mha_packed(q + e.astype(q.dtype), k, v,
-                                        num_heads=h, l_real=l,
-                                        blocks=fwd_blocks)
-    rec("fwd", loop_timed(fwd, args.iters), fwd_flops)
+    if not args.bwd_only:
+        fwd = lambda e: at.flash_mha_packed(q + e.astype(q.dtype), k, v,
+                                            num_heads=h, l_real=l,
+                                            blocks=fwd_blocks)
+        rec("fwd", loop_timed(fwd, args.iters), fwd_flops)
 
-    fwd_st = lambda e: at.flash_mha_packed(q + e.astype(q.dtype), k, v,
-                                           num_heads=h, l_real=l,
-                                           blocks=fwd_blocks,
-                                           with_stats=True)
-    rec("fwd_stats", loop_timed(fwd_st, args.iters), fwd_flops)
+        fwd_st = lambda e: at.flash_mha_packed(q + e.astype(q.dtype), k, v,
+                                               num_heads=h, l_real=l,
+                                               blocks=fwd_blocks,
+                                               with_stats=True)
+        rec("fwd_stats", loop_timed(fwd_st, args.iters), fwd_flops)
 
     o, lse = jax.jit(lambda: at.flash_mha_packed(
         q, k, v, num_heads=h, l_real=l, blocks=fwd_blocks,
@@ -105,17 +116,21 @@ def main():
 
     bwd = lambda e: at.flash_mha_packed_bwd(
         q + e.astype(q.dtype), k, v, o, do, lse, num_heads=h, l_real=l,
-        blocks=bwd_blocks)
+        **bwd_kw)
     rec("bwd_pair", loop_timed(bwd, args.iters), bwd_flops)
 
-    f = _make_packed_attn(h, l, fwd_blocks)
+    if not args.bwd_only:
+        for analytic in (False, True):
+            f = _make_packed_attn(h, l, fwd_blocks, analytic_bwd=analytic)
 
-    def vg(e):
-        def loss(q_, k_, v_):
-            return jnp.sum(f(q_, k_, v_).astype(jnp.float32))
-        return jax.grad(loss, argnums=(0, 1, 2))(q + e.astype(q.dtype), k, v)
+            def vg(e, f=f):
+                def loss(q_, k_, v_):
+                    return jnp.sum(f(q_, k_, v_).astype(jnp.float32))
+                return jax.grad(loss, argnums=(0, 1, 2))(
+                    q + e.astype(q.dtype), k, v)
 
-    rec("value_and_grad", loop_timed(vg, args.iters), fwd_flops + bwd_flops)
+            rec(f"value_and_grad_{'analytic' if analytic else 'splash'}",
+                loop_timed(vg, args.iters), fwd_flops + bwd_flops)
 
     if args.check:
         def splash_loss(q_, k_, v_):
@@ -127,8 +142,7 @@ def main():
 
         ref = jax.jit(jax.grad(splash_loss, argnums=(0, 1, 2)))(q, k, v)
         got = jax.jit(lambda: at.flash_mha_packed_bwd(
-            q, k, v, o, do, lse, num_heads=h, l_real=l,
-            blocks=bwd_blocks))()
+            q, k, v, o, do, lse, num_heads=h, l_real=l, **bwd_kw))()
         for g_, r_, name in zip(got, ref, ("dq", "dk", "dv")):
             g_, r_ = (np.asarray(x, np.float32) for x in (g_, r_))
             denom = max(1e-6, float(np.abs(r_).max()))

@@ -150,11 +150,29 @@ def _exec_reference_denoiser(ut, torch, nn,
     return g
 
 
+PRESETS = {
+    # committed fixtures: tiny 2-layer config, 16^2 inputs
+    "tiny": dict(width=64, dim_heads=32, num_layers=2, res=16,
+                 suffix="tiny"),
+    # half-scale (VERDICT r3 #1a): width 512, 8 layers, 128^2 inputs —
+    # proves the converter + flax model at non-toy width.  ~100 MB of
+    # weights, so the fixture is generated on demand into a temp dir by
+    # tests/test_golden_reference.py::test_half_scale_* (slow tier), never
+    # committed.
+    "half": dict(width=512, dim_heads=64, num_layers=8, res=128,
+                 suffix="half"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out",
                     default="tests/golden/reference_denoiser_tiny.npz")
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="tiny")
+    ap.add_argument("--only", choices=["object", "scene"], default=None,
+                    help="generate just one variant (half-scale is big)")
     args = ap.parse_args()
+    preset = PRESETS[args.preset]
 
     try:
         import easydict  # noqa: F401
@@ -182,31 +200,35 @@ def main():
     _install_stubs(torch, nn, F)
     ut = _load_utils_transformer()
 
+    sfx = preset["suffix"]
     variants = [
-        ("reference_denoiser_tiny.npz", "models/denoiser/denoiser.py",
-         dict(ray_pe_type="relative_plk")),
-        ("reference_denoiser_scene_tiny.npz",
+        ("object", f"reference_denoiser_{sfx}.npz",
+         "models/denoiser/denoiser.py", dict(ray_pe_type="relative_plk")),
+        ("scene", f"reference_denoiser_scene_{sfx}.npz",
          "models/denoiser/denoiser_scene.py",
          dict(ray_pe_type="plk", range_setting_near=0,
               range_setting_far=10)),
     ]
+    if args.only:
+        variants = [v for v in variants if v[0] == args.only]
     out_dir = os.path.dirname(args.out) or "tests/golden"
     os.makedirs(out_dir, exist_ok=True)
 
-    for fname, src, extra in variants:
+    for _, fname, src, extra in variants:
         torch.manual_seed(0)
         g = _exec_reference_denoiser(ut, torch, nn, src=src)
         DGSDenoiser = g["DGSDenoiser"]
         cfg = DGSDenoiser.Config(
-            width=64, in_channels=9, patch_size=8, n_gaussians=2,
-            dim_heads=32, num_layers=2, hard_pixelalign=True,
+            width=preset["width"], in_channels=9, patch_size=8,
+            n_gaussians=2, dim_heads=preset["dim_heads"],
+            num_layers=preset["num_layers"], hard_pixelalign=True,
             clip_xyz=True, gaussians_sh_degree=0, use_flash=False,
             use_checkpoint=False, grad_checkpoint_every=1, **extra)
         model = DGSDenoiser(cfg).eval()
 
-        # inputs: 2 views, 16x16, unit-norm rays toward the origin-ish
+        # inputs: 2 views, unit-norm rays toward the origin-ish
         rng = np.random.default_rng(0)
-        b, v, h, w = 1, 2, 16, 16
+        b, v, h, w = 1, 2, preset["res"], preset["res"]
         images = rng.uniform(0, 1, (b, v, 3, h, w)).astype(np.float32)
         ray_o = np.broadcast_to(
             rng.normal(0, 1, (b, v, 3, 1, 1)).astype(np.float32),
@@ -225,6 +247,9 @@ def main():
         fixture = {
             "images": images, "ray_o": ray_o, "ray_d": ray_d,
             "t": t.astype(np.int32),
+            "width": np.int32(preset["width"]),
+            "dim_heads": np.int32(preset["dim_heads"]),
+            "num_layers": np.int32(preset["num_layers"]),
             "ray_pe_type": np.asarray(extra["ray_pe_type"]),
             "range_setting_near": np.float32(
                 extra.get("range_setting_near", 0.0)),
