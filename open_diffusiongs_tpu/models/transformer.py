@@ -202,25 +202,26 @@ def _make_ring_attn(mesh, dh: int, l_real: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_packed_attn(num_heads: int, l_real: int, blocks: tuple[int, int],
-                      tp_mesh=None, analytic_bwd: bool = False):
+                      tp_mesh=None, analytic_bwd: bool = True):
     """custom_vjp over the packed-layout flash kernel: primal forward is the
     packed kernel on [b, Lp, h*d].
 
     The differentiated path has two routings:
 
-      * default (`analytic_bwd=False`): the vjp's forward runs splash
-        (XLA attention off-TPU) and the backward is splash's fused
-        backward — the round-2 proven configuration behind the measured
-        356 ms train step.
-      * `analytic_bwd=True`: stats-exporting packed forward + the
-        analytic Pallas backward pair (ops/attention.py::
+      * default (`analytic_bwd=True`): stats-exporting packed forward +
+        the analytic Pallas backward pair (ops/attention.py::
         flash_mha_packed_bwd) — no forward re-run, pad-row grads exactly
-        zero.  Correct (gradient-parity tested) but NOT the default: the
-        first on-device timing (2026-08-18, tools/bench_attn_bwd.py)
-        measured the pair at 1338 ms / 1% MFU at L=16386 — per-grid-step
-        overhead dominates at the (256, 256) blocks the 16 MiB VMEM scope
-        forces (docs/PERF_NOTES.md).  Flip the default only after the
-        kernels beat splash's fused backward on device.
+        zero, and the remat_save_attn residual set is just (o, lse).
+        Default since the round-4 transposed rewrite fixed the backward's
+        lane-broadcast pathology (1338 -> 48.6 ms/pair at L=16386,
+        docs/PERF_NOTES.md): per trained layer it beats the splash route
+        at both flagship lengths (L=4098: 7.56 vs 8.32 ms; L=16386:
+        ~66 vs ~77 ms fwd+bwd with the backward re-forward counted), and
+        it is the configuration the shipped `remat_save_attn: true`
+        configs assume fits v5e-16GB at 512^2.
+      * `analytic_bwd=False`: the vjp's forward runs splash (XLA attention
+        off-TPU) and the backward is splash's fused backward — the
+        round-2/3 proven fallback.
 
     With `tp_mesh` (a dp x tp jax.sharding.Mesh) the whole thing is wrapped
     in shard_map: batch on the data axis, the head-major channel axis on
