@@ -425,11 +425,11 @@ def pick_packed_bwd_gc(l: int) -> int:
     """Head-group width for the backward kernels.  Wider groups cut grid
     steps linearly (groups = h*dh/gc) — and unlike the forward (whose
     per-step work is already MXU-bound at gc=128), the backward at
-    modest blocks is overhead-bound, so width pays until the unrolled
-    per-head tile set blows the VMEM scope (see the round-4 sweep in
-    docs/PERF_NOTES.md)."""
+    modest blocks keeps some per-step overhead, so gc=256 measured 4.4%
+    faster than gc=128 at (512, 512) blocks (48.6 vs 50.8 ms at L=16386,
+    round-4 sweep in docs/PERF_NOTES.md).  Needs the 100M VMEM scope."""
     del l
-    return 128
+    return 256
 
 
 def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
@@ -485,14 +485,14 @@ def flash_mha_packed_bwd(q, k, v, o, do, lse, *, num_heads: int,
         st_spec = pl.BlockSpec((band_h, bq), lambda g, i, j: (g, i))
         # Scoped-VMEM budget: the dKV kernel's Mosaic stack is far larger
         # than the naive tile arithmetic (measured 17.21M at (256, 256),
-        # 35.73M at (512, 512) — default scope is 16M; physical VMEM is
-        # 128M).  Keeping the limit below physical makes an oversized
-        # stack fail GRACEFULLY (scoped-allocation error) instead of
-        # wedging the remote backend.  64M admits the (512, 512) blocks
-        # the overhead sweep favors.
+        # 35.73M at (512, 512), both gc=128 — default scope is 16M;
+        # physical VMEM is 128M).  Keeping the limit below physical makes
+        # an oversized stack fail GRACEFULLY (scoped-allocation error)
+        # instead of wedging the remote backend.  100M admits the settled
+        # (512, 512)/gc=256 sweep point (compiled + measured 2026-08-19).
         cparams = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=(vmem_limit_mb or 64) * 1024 * 1024)
+            vmem_limit_bytes=(vmem_limit_mb or 100) * 1024 * 1024)
         dq = pl.pallas_call(
             dq_kern,
             grid=(groups, nq, nkv),
