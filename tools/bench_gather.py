@@ -83,6 +83,39 @@ def main():
     rec("sorted_flat", lambda e: (packed + e)[
         jnp.sort(idx.reshape(-1)).reshape(args.t, args.k)])
 
+    # --- round-4 decision variants (VERDICT #4) --------------------------
+    # Full ascending-gather sandwich: sort (idx, slot) pairs, gather rows in
+    # ascending index order, sort back by slot.  Wins iff the monotone
+    # gather is enough cheaper than the random one to pay for two 1M-row
+    # u32 sorts.
+    def sandwich(e):
+        flat = idx.reshape(-1)
+        slot = jnp.arange(flat.shape[0], dtype=jnp.int32)
+        idx_a, slot_a = lax.sort((flat, slot), num_keys=1, is_stable=False)
+        rows = (packed + e)[idx_a]                       # monotone gather
+        outs = [lax.sort((slot_a, rows[:, c]), num_keys=1,
+                         is_stable=False)[1] for c in range(10)]
+        return jnp.stack(outs, -1).reshape(args.t, args.k, 10)
+    rec("sandwich", sandwich)
+
+    # Payload-through-sort: emit the 10 attribute columns alongside the
+    # sort key at bin time (split-binning stream-A shape: 2 slots/gaussian
+    # -> 2N rows), so no post-hoc row gather exists at all.  Compare 2N-row
+    # 11-operand sort vs (2N-row 2-operand sort + this gather).
+    def payload_sort(e):
+        m = 2 * args.n
+        keys = jnp.broadcast_to(ivec[None, :], (2, args.n)).reshape(-1)
+        cols = [jnp.broadcast_to((packed[:, c] + e)[None, :],
+                                 (2, args.n)).reshape(-1) for c in range(10)]
+        out = lax.sort((keys, *cols), num_keys=1, is_stable=False)
+        return out[1]
+    rec("payload_sort_2n", payload_sort)
+    rec("key_sort_2n", lambda e: lax.sort(
+        (jnp.broadcast_to((ivec + e)[None, :], (2, args.n)).reshape(-1),
+         jnp.broadcast_to(jnp.arange(args.n, dtype=jnp.int32)[None, :],
+                          (2, args.n)).reshape(-1)),
+        num_keys=1, is_stable=False)[1])
+
     print(json.dumps({"n": args.n, "t": args.t, "k": args.k,
                       "results": results,
                       "device": str(jax.devices()[0])}))
