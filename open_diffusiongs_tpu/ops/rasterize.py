@@ -9,6 +9,12 @@ XLA's static-shape, sort-based world:
   1 thread/Gaussian preprocess         vectorized jnp over [N] (VPU)
   cub scan + dynamic key duplication   static D duplicate slots per Gaussian
   cub radix sort (tile<<32|depth)      lax.sort multi-key (tile, depth), stable
+                                       — carrying the 10 attribute columns as
+                                       sort payload when split_slots > 0, so
+                                       the per-tile candidate rows come out of
+                                       the sort already materialized (payload
+                                       operands are free on TPU; the [T, K, 10]
+                                       row gather they replace is ~8 ms/view)
   identifyTileRanges                   searchsorted over sorted tile ids
   dynamic per-tile ranges              static per-tile capacity K (overflow
                                        drops the *farthest* Gaussians, counted)
@@ -75,7 +81,9 @@ class RasterizeConfig(NamedTuple):
     # N*S + big_select*(D-S) + T*(K + big_per_tile)  (~3-4x at 512^2).
     split_slots: int = 0       # 0 = single-stream (exact baseline path)
     big_select: int = 0        # max big-rect Gaussians per view (0 = N//8)
-    big_per_tile: int = 0      # per-tile candidates from stream B (0 = K//4)
+    big_per_tile: int = 0      # unused since the fused payload sort (kept
+    #                            for config compatibility; the combined
+    #                            sort has no separate stream-B tile cap)
     # Inference-only: blend via lax.while_loop that STOPS once every pixel's
     # transmittance has died or every per-tile list is exhausted — exactly
     # CUDA's per-pixel early termination (forward.cu:341-351) lifted to the
@@ -247,104 +255,202 @@ def _sorted_stream_bounds(tile_rows: jnp.ndarray, ranks, rank_bits: int,
     return key_s, idx_s, bounds[:-1], bounds[1:] - bounds[:-1]
 
 
-def _bin_tiles_split(pre: PreprocessedView, tiles_x: int, tiles_y: int,
-                     cfg: RasterizeConfig) -> TileBins:
-    """Two-stream binning: small-rect stream A (S slots, all N Gaussians)
-    + big-rect stream B (slots S..D, only the `big_select` Gaussians whose
-    rect exceeds S tiles), merged per tile by depth rank.
+class FusedBins(NamedTuple):
+    """Binning output with the candidate ATTRIBUTE rows already in per-tile
+    layout — the blend's [T, K, 10] random row gather (measured ~8-10
+    ms/view at 512^2, latency-bound regardless of index order,
+    tools/bench_gather.py) never happens on the payload-sort path."""
 
-    Exactly reproduces the single-stream `bin_tiles` (same CUDA order,
-    rasterizer_impl.cu:277-314) whenever every big-rect Gaussian is
-    selected and per-tile stream-B candidates fit in big_per_tile; both
-    caps are counted in the overflow diagnostics, never silent.
+    g: jnp.ndarray        # [T, Kp, 10] f32 rows, depth-sorted, zero-padded
+    idxm: jnp.ndarray     # [T, Kp] int32 source Gaussian (sentinel N)
+    counts: jnp.ndarray   # [T] int32 live candidates (<= K)
+    overflow_tiles: jnp.ndarray      # [] int32: rect tiles beyond D
+    overflow_gaussians: jnp.ndarray  # [] int32: per-tile entries beyond K
+    entries: jnp.ndarray             # [] int32: total binned entries
+
+
+def _fused_bin_payload(packed, depth, rect, valid, tiles_x: int,
+                       tiles_y: int, cfg: RasterizeConfig) -> FusedBins:
+    """Combined-stream payload-carrying binning.
+
+    ONE `lax.sort` orders every (tile, depth-rank) record of both slot
+    streams — stream A = the first S slots of ALL N Gaussians, stream B =
+    slots S..D of the `big_select` big-rect Gaussians — while carrying the
+    10 attribute columns and the source index as sort payloads.  Measured
+    on v5e (tools/bench_gather.py): payload operands through `lax.sort`
+    are free (11-operand == 2-operand at 2M rows, ~3.8 ms), whereas the
+    post-hoc [T, K, 10] row gather they replace costs ~8 ms/view; the
+    per-tile recovery becomes one contiguous [Kp, 10] dynamic-slice DMA
+    per tile.  Replaces round 3's two-sorts-plus-rank-merge split binning
+    (same CUDA order, one fewer capacity cap: stream B shares the global
+    per-tile K instead of a separate big_per_tile).
     """
-    n = pre.depth.shape[0]
+    n = depth.shape[0]
     d_slots = cfg.max_tiles_per_gaussian
     s_slots = cfg.split_slots
     num_tiles = tiles_x * tiles_y
     K = cfg.max_per_tile
-    m_big = cfg.big_select or max(1, n // 8)
-    m_big = min(m_big, n)
-    k_big = cfg.big_per_tile or max(8, K // 4)
+    kp = -(-K // 128) * 128
+    m_big = min(cfg.big_select or max(1, n // 8), n)
     rank_bits = max(1, (n - 1).bit_length())
-    sent = jnp.uint32(1 << rank_bits)                      # > any rank
 
-    x0, y0 = pre.rect[:, 0], pre.rect[:, 1]
-    rw = pre.rect[:, 2] - x0
-    rh = pre.rect[:, 3] - y0
+    x0, y0 = rect[:, 0], rect[:, 1]
+    rw = rect[:, 2] - x0
+    rh = rect[:, 3] - y0
     area = rw * rh
-    inv = _depth_ranks(pre.depth)                          # [N]
+    inv = _depth_ranks(depth).astype(jnp.uint32)           # [N]
 
     # --- stream A: slots [0, S) for all N --------------------------------
-    tile_a = _emit_tile_rows(x0, y0, rw, area, pre.valid, s_slots, 0,
-                             tiles_x, num_tiles)
-    key_as, idxs_a, starts_a, counts_a = _sorted_stream_bounds(
-        tile_a, inv.astype(jnp.uint32), rank_bits, num_tiles)
+    tile_a = _emit_tile_rows(x0, y0, rw, area, valid, s_slots, 0,
+                             tiles_x, num_tiles)           # [S, N]
 
-    # --- select big-rect Gaussians (area > S) -----------------------------
-    is_big = pre.valid & (area > s_slots)
+    # --- stream B: slots [S, D) of the selected big-rect Gaussians -------
+    is_big = valid & (area > s_slots)
     _, big_idx = jax.lax.sort(
         ((~is_big).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)),
         num_keys=1, is_stable=True)
     n_big = jnp.sum(is_big.astype(jnp.int32))
     big_idx = big_idx[:m_big]                              # [M] orig indices
     sel_ok = jnp.arange(m_big, dtype=jnp.int32) < n_big
-
-    x0_b = x0[big_idx]
-    y0_b = y0[big_idx]
     area_b = area[big_idx]
     rw_b = jnp.maximum(rw[big_idx], 1)
-    inv_b = inv[big_idx]
-    # stream B starts its walk at slot S: offset (S % rw, S // rw)
-    tile_b = _emit_tile_rows(x0_b, y0_b, rw_b, area_b, sel_ok,
+    packed_b = packed[big_idx]                             # [M, 10]
+    tile_b = _emit_tile_rows(x0[big_idx], y0[big_idx], rw_b, area_b, sel_ok,
                              d_slots - s_slots, s_slots, tiles_x, num_tiles,
                              start_x=s_slots % rw_b, start_y=s_slots // rw_b)
-    # stream B payload must be the ORIGINAL index: sort it alongside
-    key_b = ((tile_b.astype(jnp.uint32) << rank_bits)
-             | inv_b.astype(jnp.uint32)[None, :]).reshape(-1)
-    idx_b_rows = jnp.broadcast_to(big_idx[None, :],
-                                  tile_b.shape).reshape(-1)
-    key_bs, idxs_b = jax.lax.sort((key_b, idx_b_rows), num_keys=1,
-                                  is_stable=False)
+
+    # --- ONE sort over both streams, attributes as payload ---------------
+    def flat(rows_a, rows_b):
+        return jnp.concatenate([
+            jnp.broadcast_to(rows_a[None, :], tile_a.shape).reshape(-1),
+            jnp.broadcast_to(rows_b[None, :], tile_b.shape).reshape(-1)])
+
+    key = jnp.concatenate([
+        ((tile_a.astype(jnp.uint32) << rank_bits) | inv[None, :]).reshape(-1),
+        ((tile_b.astype(jnp.uint32) << rank_bits)
+         | inv[big_idx][None, :]).reshape(-1)])
+    idxp = flat(jnp.arange(n, dtype=jnp.int32), big_idx)
+    cols = tuple(flat(packed[:, c], packed_b[:, c]) for c in range(10))
+    out = jax.lax.sort((key, idxp) + cols, num_keys=1, is_stable=False)
+    key_s, idx_s, cols_s = out[0], out[1], out[2:]
+
     tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
-    bounds_b = jnp.searchsorted(key_bs, tids, side="left").astype(jnp.int32)
-    starts_b, counts_b = bounds_b[:-1], bounds_b[1:] - bounds_b[:-1]
+    bounds = jnp.searchsorted(key_s, tids, side="left").astype(jnp.int32)
+    starts, counts_raw = bounds[:-1], bounds[1:] - bounds[:-1]
 
-    # --- per-tile gather + rank merge -------------------------------------
-    def gather_pairs(key_s, idx_s, starts, counts, cap):
-        kk = jnp.arange(cap, dtype=jnp.int32)
-        ok = kk[None, :] < jnp.minimum(counts, cap)[:, None]
-        r = _row_gather(key_s, starts, cap, jnp.uint32(0xFFFFFFFF))
-        r = jnp.where(ok, r & jnp.uint32((1 << rank_bits) - 1), sent)
-        i = _row_gather(idx_s, starts, cap, jnp.int32(0))
-        return r, i
-
-    ranks_a, idxg_a = gather_pairs(key_as, idxs_a, starts_a, counts_a, K)
-    ranks_b, idxg_b = gather_pairs(key_bs, idxs_b, starts_b, counts_b, k_big)
-    # merge the two depth-ordered candidate lists per tile: a small sort of
-    # [T, K + k_big] ranks (sentinel-padded) with the index as payload
-    merged, idx_m = jax.lax.sort(
-        (jnp.concatenate([ranks_a, ranks_b], axis=1),
-         jnp.concatenate([idxg_a, idxg_b], axis=1)), num_keys=1,
-        is_stable=False)
-    merged, idx = merged[:, :K], idx_m[:, :K]               # [T, K]
-    mask = merged < sent
+    # --- contiguous per-tile recovery (one [Kp, 10] DMA per tile) --------
+    rows = jnp.concatenate([jnp.stack(cols_s, axis=-1),
+                            jnp.zeros((kp, 10), jnp.float32)])
+    idx_pad = jnp.concatenate([idx_s, jnp.full((kp,), n, jnp.int32)])
+    g = jax.vmap(lambda s: jax.lax.dynamic_slice(rows, (s, 0), (kp, 10))
+                 )(starts)                                 # [T, Kp, 10]
+    im = jax.vmap(lambda s: jax.lax.dynamic_slice(idx_pad, (s,), (kp,))
+                  )(starts)                                # [T, Kp]
+    counts = jnp.minimum(counts_raw, K)
+    live = jnp.arange(kp, dtype=jnp.int32)[None, :] < counts[:, None]
+    g = jnp.where(live[..., None], g, 0.0)
+    im = jnp.where(live, im, n)
 
     # --- diagnostics (exact, never silent) --------------------------------
-    entries = jnp.sum(counts_a) + jnp.sum(counts_b)
-    kept = jnp.sum(jnp.minimum(
-        jnp.minimum(counts_a, K) + jnp.minimum(counts_b, k_big), K))
-    overflow_gaussians = entries - kept
+    entries = jnp.sum(counts_raw)
+    overflow_gaussians = jnp.sum(jnp.maximum(counts_raw - K, 0))
     # tile slots lost: rects beyond D (as single-stream) + slots S..D of
     # big Gaussians that did not fit in the big_select capacity
     unselected_loss = jnp.sum(
         jnp.where(is_big, jnp.minimum(area, d_slots) - s_slots, 0)
     ) - jnp.sum(jnp.where(sel_ok, jnp.minimum(area_b, d_slots) - s_slots, 0))
     overflow_tiles = jnp.sum(
-        jnp.where(pre.valid, jnp.maximum(area - d_slots, 0), 0)
+        jnp.where(valid, jnp.maximum(area - d_slots, 0), 0)
     ) + unselected_loss
-    return TileBins(idx=idx, mask=mask, overflow_tiles=overflow_tiles,
-                    overflow_gaussians=overflow_gaussians, entries=entries)
+    return FusedBins(g=g, idxm=im, counts=counts,
+                     overflow_tiles=overflow_tiles,
+                     overflow_gaussians=overflow_gaussians, entries=entries)
+
+
+def _fused_bin_fallback(packed, pre: PreprocessedView, tiles_x: int,
+                        tiles_y: int, cfg: RasterizeConfig) -> FusedBins:
+    """Exact single-stream binning + the row gather, in FusedBins form
+    (the payload path's cond partner for init-statistics populations)."""
+    bins = _bin_tiles_single(pre, tiles_x, tiles_y, cfg)
+    g, counts, im = _prep_pallas_inputs(packed, bins.idx, bins.mask)
+    return FusedBins(g=g, idxm=im, counts=counts,
+                     overflow_tiles=bins.overflow_tiles,
+                     overflow_gaussians=bins.overflow_gaussians,
+                     entries=bins.entries)
+
+
+def fused_bin(packed, pre: PreprocessedView, tiles_x: int, tiles_y: int,
+              cfg: RasterizeConfig) -> FusedBins:
+    """Bin + candidate-row materialization in one step (gradient-free; see
+    `attach_rows` for the differentiable seam).
+
+    With cfg.split_slots > 0 an adaptive guard keeps the payload sort safe
+    for TRAINING, where early steps have init statistics with E[rect area]
+    ~ 100 tiles: when the big-rect census exceeds stream B's selection
+    capacity, the exact single-stream sort runs for this view instead.
+    Both branches trace (compile cost), execution picks per view by the
+    actual population, so a config can leave split_slots: 2 on for a whole
+    run: init-stats steps ride the fallback, converged steps get the
+    payload-sort win (~2x bin AND no blend gather).
+    """
+    n = pre.depth.shape[0]
+    d_slots = cfg.max_tiles_per_gaussian
+    num_tiles = tiles_x * tiles_y
+    rank_bits = max(1, (n - 1).bit_length())               # depth rank < n
+    tile_bits = (num_tiles + 1 - 1).bit_length()           # incl. sentinel
+    packed = jax.lax.stop_gradient(packed)
+    pre = jax.tree.map(jax.lax.stop_gradient, pre)
+    if (0 < cfg.split_slots < d_slots) and rank_bits + tile_bits <= 32:
+        x0t, y0t = pre.rect[:, 0], pre.rect[:, 1]
+        area_t = (pre.rect[:, 2] - x0t) * (pre.rect[:, 3] - y0t)
+        n_big = jnp.sum((pre.valid & (area_t > cfg.split_slots))
+                        .astype(jnp.int32))
+        m_big = min(cfg.big_select or max(1, n // 8), n)
+        return jax.lax.cond(
+            n_big <= m_big,
+            lambda pk, pr: _fused_bin_payload(pk, pr.depth, pr.rect,
+                                              pr.valid, tiles_x, tiles_y,
+                                              cfg),
+            lambda pk, pr: _fused_bin_fallback(pk, pr, tiles_x, tiles_y,
+                                               cfg),
+            packed, pre)
+    return _fused_bin_fallback(packed, pre, tiles_x, tiles_y, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attach(n: int):
+    """The differentiable seam between binning and blending.
+
+    Forward: identity on the pre-materialized candidate rows `g0`.
+    Backward: the deterministic scatter-add of the per-candidate gradient
+    rows onto d_packed via the source-index map (the CUDA backward's
+    atomicAdd, backward.cu:399-557, made deterministic) — exactly the VJP
+    of `g0[t, k] = packed[idxm[t, k]]`, without ever re-running the
+    binning sort: idxm arrives as an INPUT, so under `render`'s remat
+    policy (which names g0/idxm as saved residuals) the backward pass
+    recomputes nothing of the bin."""
+
+    @jax.custom_vjp
+    def attach(packed, g0, idxm):
+        return g0
+
+    def fwd(packed, g0, idxm):
+        return g0, idxm
+
+    def bwd(idxm, dg):
+        import numpy as _np
+        d_packed = jnp.zeros((n + 1, 10), jnp.float32).at[
+            idxm.reshape(-1)].add(dg.reshape(-1, 10))[:n]
+        return (d_packed, jnp.zeros_like(dg),
+                _np.zeros(idxm.shape, jax.dtypes.float0))
+
+    attach.defvjp(fwd, bwd)
+    return attach
+
+
+def attach_rows(packed, g0, idxm):
+    """g = packed rows in per-tile order (value: `g0`; gradient: scatter)."""
+    return _make_attach(packed.shape[0])(packed, g0, idxm)
 
 
 def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
@@ -357,34 +463,10 @@ def bin_tiles(pre: PreprocessedView, tiles_x: int, tiles_y: int,
     stable lexicographic sort orders them, searchsorted recovers per-tile
     ranges, and a static K-capacity gather yields [T, K] candidate lists.
 
-    With cfg.split_slots > 0 the two-stream variant (`_bin_tiles_split`)
-    replaces the single N*D sort — see RasterizeConfig.
+    This is the index-only API (always single-stream); `render` rides
+    `fused_bin`, whose payload-sort path also materializes the attribute
+    rows and so never pays the blend's candidate gather.
     """
-    n = pre.depth.shape[0]
-    d_slots = cfg.max_tiles_per_gaussian
-    num_tiles = tiles_x * tiles_y
-
-    rank_bits = max(1, (n - 1).bit_length())               # depth rank < n
-    tile_bits = (num_tiles + 1 - 1).bit_length()           # incl. sentinel
-    if (0 < cfg.split_slots < d_slots) and rank_bits + tile_bits <= 32:
-        # Adaptive guard (makes split_slots safe for TRAINING, where early
-        # steps have init statistics with E[rect area] ~ 100 tiles): when
-        # the big-rect census exceeds stream B's selection capacity, the
-        # split path would clip real coverage — run the exact single-stream
-        # sort for this view instead.  Both branches trace (compile cost),
-        # execution picks per view by the actual population, so a config
-        # can leave split_slots: 2 on for a whole run: init-stats steps
-        # ride stream-free binning, converged steps get the ~2x bin win.
-        x0t, y0t = pre.rect[:, 0], pre.rect[:, 1]
-        area_t = (pre.rect[:, 2] - x0t) * (pre.rect[:, 3] - y0t)
-        n_big = jnp.sum((pre.valid & (area_t > cfg.split_slots))
-                        .astype(jnp.int32))
-        m_big = min(cfg.big_select or max(1, n // 8), n)
-        single = functools.partial(_bin_tiles_single, tiles_x=tiles_x,
-                                   tiles_y=tiles_y, cfg=cfg)
-        split = functools.partial(_bin_tiles_split, tiles_x=tiles_x,
-                                  tiles_y=tiles_y, cfg=cfg)
-        return jax.lax.cond(n_big <= m_big, split, single, pre)
     return _bin_tiles_single(pre, tiles_x, tiles_y, cfg)
 
 
@@ -473,17 +555,18 @@ def _blend_chunk(pix, carry, chunk_in):
     return (t_run, dead, acc_c, acc_d), None
 
 
-def _blend_scan_core(packed, idx, mask, tiles_x: int, tiles_y: int,
+def _blend_scan_core(g_all, mask, tiles_x: int, tiles_y: int,
                      cfg: RasterizeConfig):
-    """Differentiable chunked-scan blend core.  Returns the per-tile
-    accumulators (t_fin [T,ppt], acc_c [T,ppt,3], acc_d [T,ppt])."""
+    """Differentiable chunked-scan blend core over pre-materialized
+    candidate rows g_all [T, Kp, 10].  Returns the per-tile accumulators
+    (t_fin [T,ppt], acc_c [T,ppt,3], acc_d [T,ppt])."""
     num_tiles = tiles_x * tiles_y
     ppt = TILE * TILE
     kc = cfg.blend_chunk
-    K = idx.shape[1]
+    K = g_all.shape[1]
+    assert K % kc == 0, "padded K must be divisible by blend_chunk"
     n_chunks = K // kc
     pix = _tile_pixel_centers(tiles_x, tiles_y)
-    g_all = packed[idx]                                 # [T, K, 10]
     chunks = jax.tree.map(
         lambda x: x.reshape(num_tiles, n_chunks, kc, *x.shape[2:])
                    .swapaxes(0, 1),
@@ -548,42 +631,39 @@ def _prep_pallas_inputs(packed, idx, mask):
     return g, counts, idxm
 
 
-def _blend_pallas_core(packed, idx, mask, tiles_x: int, interpret: bool):
-    """Forward blend via the per-tile Pallas kernel (ops/blend_kernel.py).
-    Same (t_fin, acc_c, acc_d) contract as the XLA scan core."""
-    from .blend_kernel import blend_tiles_pallas
-
-    g, counts, _ = _prep_pallas_inputs(packed, idx, mask)
-    return blend_tiles_pallas(g, counts, tiles_x, interpret=interpret)
+def _counts_mask(counts, kp: int):
+    return (jnp.arange(kp, dtype=jnp.int32)[None, :]
+            < counts[:, None])                          # [T, Kp]
 
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
                      interpret: bool = False):
-    """custom_vjp blend core: primal = Pallas kernel; backward = the
-    analytic Pallas kernel + one deterministic scatter-add (pallas_bwd
-    'auto'/'on', the CUDA backward.cu:399-557 equivalent) or JAX AD of the
-    checkpointed XLA scan ('off', bit-identical reference)."""
+    """custom_vjp blend core over pre-materialized rows (g, counts):
+    primal = Pallas kernel; backward = the analytic Pallas kernel
+    (pallas_bwd 'auto'/'on', the CUDA backward.cu:399-557 equivalent,
+    returning the per-candidate gradient rows d_g — the scatter back onto
+    d_packed lives in `attach_rows`) or JAX AD of the checkpointed XLA
+    scan ('off', bit-identical reference)."""
     import numpy as _np
 
     use_bwd_kernel = cfg.pallas_bwd != "off"
 
     @jax.custom_vjp
-    def core(packed, idx, mask):
-        return _blend_pallas_core(packed, idx, mask, tiles_x, interpret)
+    def core(g, counts):
+        from .blend_kernel import blend_tiles_pallas
+        return blend_tiles_pallas(g, counts, tiles_x, interpret=interpret)
 
     if use_bwd_kernel:
         from .blend_kernel import PPT, blend_bwd_pallas, blend_tiles_pallas
 
-        def fwd(packed, idx, mask):
-            g, counts, idxm = _prep_pallas_inputs(packed, idx, mask)
+        def fwd(g, counts):
             t_fin, acc_c, acc_d = blend_tiles_pallas(
                 g, counts, tiles_x, interpret=interpret)
-            return (t_fin, acc_c, acc_d), (packed, idxm, g, counts,
-                                           t_fin, acc_c, acc_d)
+            return (t_fin, acc_c, acc_d), (g, counts, t_fin, acc_c, acc_d)
 
         def bwd(res, cot):
-            packed, idxm, g, counts, t_fin, acc_c, acc_d = res
+            g, counts, t_fin, acc_c, acc_d = res
             d_tfin, d_accc, d_accd = cot
             T = g.shape[0]
 
@@ -596,25 +676,19 @@ def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
             ct = pack8(d_accc, d_tfin, d_accd)
             dg = blend_bwd_pallas(g, counts, fo, ct, tiles_x,
                                   interpret=interpret)
-            # deterministic scatter-add; masked/padded rows land on the
-            # sentinel row N (their gradient rows are exactly zero anyway),
-            # which is then dropped
-            n = packed.shape[0]
-            d_packed = jnp.zeros((n + 1, 10), jnp.float32).at[
-                idxm.reshape(-1)].add(dg.reshape(-1, 10))[:n]
-            k_cfg = cfg.max_per_tile
-            return (d_packed,
-                    _np.zeros((T, k_cfg), jax.dtypes.float0),
-                    _np.zeros((T, k_cfg), jax.dtypes.float0))
+            return dg, _np.zeros(counts.shape, jax.dtypes.float0)
     else:
-        def fwd(packed, idx, mask):
-            return jax.vjp(
-                lambda p, i, m: _blend_scan_core(p, i, m, tiles_x, tiles_y,
-                                                 cfg),
-                packed, idx, mask)
+        def fwd(g, counts):
+            out, vjp_fn = jax.vjp(
+                lambda gg: _blend_scan_core(
+                    gg, _counts_mask(counts, gg.shape[1]), tiles_x,
+                    tiles_y, cfg), g)
+            return out, (vjp_fn, counts)
 
-        def bwd(vjp_fn, g):
-            return vjp_fn(g)
+        def bwd(res, cot):
+            vjp_fn, counts = res
+            return (vjp_fn(cot)[0],
+                    _np.zeros(counts.shape, jax.dtypes.float0))
 
     core.defvjp(fwd, bwd)
     return core
@@ -623,7 +697,26 @@ def _make_blend_core(cfg: RasterizeConfig, tiles_x: int, tiles_y: int,
 def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
                 tiles_y: int, bg: jnp.ndarray, cfg: RasterizeConfig
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Front-to-back alpha blending per tile (forward.cu renderCUDA:261-374).
+    """Index-based blending API: gathers the candidate rows from a packed
+    [N, 10] attribute matrix (ONE row gather; 5 separate gathers measured
+    ~3.5x slower on TPU), then blends via `blend_tiles_g`.  `render` rides
+    the gather-free `fused_bin` path instead."""
+    packed = jnp.concatenate(
+        [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
+         pre.depth[:, None]], axis=-1)
+    g0, counts, idxm = _prep_pallas_inputs(
+        jax.lax.stop_gradient(packed), bins.idx, bins.mask)
+    g = attach_rows(packed, g0, idxm)
+    return blend_tiles_g(g, counts, tiles_x, tiles_y, bg, cfg)
+
+
+def blend_tiles_g(g_rows: jnp.ndarray, counts: jnp.ndarray, tiles_x: int,
+                  tiles_y: int, bg: jnp.ndarray, cfg: RasterizeConfig
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Front-to-back alpha blending per tile (forward.cu renderCUDA:261-374)
+    over pre-materialized candidate rows g_rows [T, Kp, 10] (depth-sorted,
+    zero rows beyond counts[t] — a zero row blends to nothing since its
+    opacity 0 < ALPHA_MIN is a CUDA skip, forward.cu:345).
 
     Three interchangeable cores: the per-tile Pallas kernel (TPU forward
     default — intermediates stay in VMEM), a chunked lax.scan (the
@@ -638,14 +731,14 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
     num_tiles = tiles_x * tiles_y
     ppt = TILE * TILE
     kc = cfg.blend_chunk
-    K = cfg.max_per_tile
-    assert K % kc == 0, "max_per_tile must be divisible by blend_chunk"
-
-    # Gather per-tile candidate attributes with ONE row gather of a packed
-    # [N, 10] matrix (5 separate gathers measured ~3.5x slower on TPU).
-    packed = jnp.concatenate(
-        [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
-         pre.depth[:, None]], axis=-1)
+    K = g_rows.shape[1]
+    assert K % kc == 0, "padded K must be divisible by blend_chunk"
+    # Materialize the candidate rows before blending: the Pallas kernel
+    # needs them as a real buffer anyway, and the barrier keeps the blend
+    # bit-identical regardless of which bin path (payload sort vs gather)
+    # produced them — without it XLA fuses the differing producers into
+    # the (interpret-mode) blend and reassociates f32 math differently.
+    g_rows = jax.lax.optimization_barrier(g_rows)
 
     use_pallas = cfg.pallas_blend == "on" or (
         cfg.pallas_blend == "auto" and jax.default_backend() == "tpu")
@@ -654,14 +747,14 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         interp = jax.default_backend() != "tpu"
         t_fin, acc_c, acc_d = _make_blend_core(cfg, tiles_x, tiles_y,
                                                interpret=interp)(
-            packed, bins.idx, bins.mask)
+            g_rows, counts)
     elif cfg.early_exit:
         # Chunk-level CUDA early termination (forward.cu:341-351): stop as
         # soon as every pixel is saturated or every tile list is exhausted.
-        # The gather runs inside the loop, so skipped chunks cost nothing.
         chunk = functools.partial(_blend_chunk,
                                   _tile_pixel_centers(tiles_x, tiles_y))
         n_chunks = K // kc
+        mask = _counts_mask(counts, K)
         init = (jnp.ones((num_tiles, ppt), jnp.float32),
                 jnp.zeros((num_tiles, ppt), bool),
                 jnp.zeros((num_tiles, ppt, 3), jnp.float32),
@@ -675,15 +768,14 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
         def cond(carry):
             c, _, dead, _, _ = carry
             cc = jnp.minimum(c, n_chunks - 1)
-            m = slice_chunk(bins.mask, cc, kc)              # [T, kc]
+            m = slice_chunk(mask, cc, kc)                   # [T, kc]
             tile_alive = ~jnp.all(dead, axis=1)             # [T]
             return (c < n_chunks) & jnp.any(jnp.any(m, axis=1) & tile_alive)
 
         def body(carry):
             c, t_run, dead, acc_c, acc_d = carry
-            idx_c = slice_chunk(bins.idx, c, kc)            # [T, kc]
-            m_c = slice_chunk(bins.mask, c, kc)
-            g = packed[idx_c]                               # [T, kc, 10]
+            g = slice_chunk(g_rows, c, kc)                  # [T, kc, 10]
+            m_c = slice_chunk(mask, c, kc)
             state, _ = chunk((t_run, dead, acc_c, acc_d),
                              (g[..., 0:2], g[..., 2:5], g[..., 5:8],
                               g[..., 8], g[..., 9], m_c))
@@ -693,7 +785,7 @@ def blend_tiles(pre: PreprocessedView, bins: TileBins, tiles_x: int,
             cond, body, (jnp.int32(0),) + init)
     else:
         t_fin, acc_c, acc_d = _blend_scan_core(
-            packed, bins.idx, bins.mask, tiles_x, tiles_y, cfg)
+            g_rows, _counts_mask(counts, K), tiles_x, tiles_y, cfg)
 
     color = acc_c + t_fin[..., None] * bg[None, None, :]    # forward.cu:370-372
     # [T, ppt, c] -> [ty, tx, py, px, c] -> [Hp, Wp, c]
@@ -715,16 +807,27 @@ def rasterize_single_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
     tiles_x = -(-w // TILE)
     tiles_y = -(-h // TILE)
     pre = preprocess_view(act, cov3d, cam, h, w, sh_degree)
-    bins = bin_tiles(pre, tiles_x, tiles_y, cfg)
-    # name the (integer, gradient-free) bin structure so the remat policy in
-    # render() keeps it as a residual — backward then skips the re-sort
+    # Materialize the preprocess outputs once: without the barrier XLA
+    # fuses this math into whichever bin path consumes it, and the two
+    # paths' different fusion contexts round pre/packed differently —
+    # breaking the payload-vs-gather bit-exactness guarantee.
+    pre = jax.lax.optimization_barrier(pre)
+    packed = jnp.concatenate(
+        [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
+         pre.depth[:, None]], axis=-1)                      # [N, 10]
+    fb = fused_bin(packed, pre, tiles_x, tiles_y, cfg)
+    # name the bin outputs so the remat policy in render() keeps them as
+    # residuals — backward then skips the re-sort (and, on the payload
+    # path, never materializes a gather at all: attach_rows' bwd scatters
+    # straight from the saved idxm)
     from jax.ad_checkpoint import checkpoint_name
-    bins = bins._replace(
-        idx=checkpoint_name(bins.idx, "raster_bins_idx"),
-        mask=checkpoint_name(bins.mask, "raster_bins_mask"))
-    color, alpha, depth = blend_tiles(pre, bins, tiles_x, tiles_y, bg, cfg)
+    g0 = checkpoint_name(fb.g, "raster_g")
+    idxm = checkpoint_name(fb.idxm, "raster_bins_idx")
+    counts = checkpoint_name(fb.counts, "raster_bins_counts")
+    g = attach_rows(packed, g0, idxm)
+    color, alpha, depth = blend_tiles_g(g, counts, tiles_x, tiles_y, bg, cfg)
     return (color[:h, :w], alpha[:h, :w], depth[:h, :w],
-            bins.overflow_tiles, bins.overflow_gaussians, bins.entries)
+            fb.overflow_tiles, fb.overflow_gaussians, fb.entries)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -776,7 +879,7 @@ def render(gaussians: Gaussians, c2w: jnp.ndarray, fxfycxcy: jnp.ndarray,
             one_view = jax.checkpoint(
                 one_view,
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "raster_bins_idx", "raster_bins_mask"))
+                    "raster_g", "raster_bins_idx", "raster_bins_counts"))
         # sequential over views: a batched (vmapped) lax.sort is ~2.4x
         # slower than V independent sorts on TPU (measured on v5e), and the
         # per-view transients don't multiply

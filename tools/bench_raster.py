@@ -181,6 +181,18 @@ def main():
     t_gather = loop_timed(
         lambda e: gather_fn(packed + e, bins.idx), iters=args.iters)
 
+    # the fused payload-sort bin (bin + candidate-row materialization in
+    # one step — the gather-free path render() rides when split_slots > 0)
+    def fused(p):
+        pk = jnp.concatenate(
+            [p.xy, p.conic, p.color, p.opacity[:, None],
+             p.depth[:, None]], axis=-1)
+        return rasterize.fused_bin(pk, p, tiles_x, tiles_y, cfg)
+    fused_fn = jax.jit(fused)
+    t_fusedbin = loop_timed(
+        lambda e: fused_fn(pre._replace(depth=pre.depth + e)),
+        iters=args.iters)
+
     if args.quick:
         t_depthsort = t_keysort = t_mkkeys = t_realsort = t_recover = 0.0
     else:
@@ -255,6 +267,7 @@ def main():
         "bin_ms": round(t_bin * 1e3, 2),
         "blend_ms": round(t_blend * 1e3, 2),
         "gather_ms": round(t_gather * 1e3, 2),
+        "fused_bin_ms": round(t_fusedbin * 1e3, 2),
         "depth_presort_ms": round(t_depthsort * 1e3, 2),
         "key_sort_ms": round(t_keysort * 1e3, 2),
         "make_keys_ms": round(t_mkkeys * 1e3, 2),
