@@ -271,19 +271,26 @@ class FusedBins(NamedTuple):
 
 def _fused_bin_payload(packed, depth, rect, valid, tiles_x: int,
                        tiles_y: int, cfg: RasterizeConfig) -> FusedBins:
-    """Combined-stream payload-carrying binning.
+    """Combined-stream 3-key binning.
 
-    ONE `lax.sort` orders every (tile, depth-rank) record of both slot
-    streams — stream A = the first S slots of ALL N Gaussians, stream B =
-    slots S..D of the `big_select` big-rect Gaussians — while carrying the
-    10 attribute columns and the source index as sort payloads.  Measured
-    on v5e (tools/bench_gather.py): payload operands through `lax.sort`
-    are free (11-operand == 2-operand at 2M rows, ~3.8 ms), whereas the
-    post-hoc [T, K, 10] row gather they replace costs ~8 ms/view; the
-    per-tile recovery becomes one contiguous [Kp, 10] dynamic-slice DMA
-    per tile.  Replaces round 3's two-sorts-plus-rank-merge split binning
-    (same CUDA order, one fewer capacity cap: stream B shares the global
-    per-tile K instead of a separate big_per_tile).
+    ONE `lax.sort((tile, depth_bits, idx), num_keys=3)` orders every slot
+    record of both streams — stream A = the first S slots of ALL N
+    Gaussians, stream B = slots S..D of the `big_select` big-rect
+    Gaussians.  Positive-float depth bits sort identically to depth as
+    uint32, and idx as the third key reproduces the CUDA stable radix
+    tie-break exactly, so this replaces BOTH of round 3's per-stream
+    rank-packed sorts AND their [T, K + k_big] rank merge AND the
+    depth-rank pre-sorts (`_depth_ranks`, two stable N-row passes) with
+    one call over N*S + M*(D-S) rows.
+
+    Measured dead end recorded for posterity: carrying the 10 attribute
+    columns as sort payload to skip the blend's row gather LOSES — sort
+    cost is ~3.2 ms/operand at 4M rows on v5e (a 12-operand sort is 38 ms
+    vs the ~8 ms gather it would replace; the earlier "payload is free"
+    reading came from XLA DCE-ing unused sort outputs in the bench).  The
+    single [T, Kp] row gather stays — it is the one unavoidable ~1M-row
+    permutation (~8 ms, latency-bound regardless of index order or
+    element size, tools/bench_gather.py).
     """
     n = depth.shape[0]
     d_slots = cfg.max_tiles_per_gaussian
@@ -292,13 +299,11 @@ def _fused_bin_payload(packed, depth, rect, valid, tiles_x: int,
     K = cfg.max_per_tile
     kp = -(-K // 128) * 128
     m_big = min(cfg.big_select or max(1, n // 8), n)
-    rank_bits = max(1, (n - 1).bit_length())
 
     x0, y0 = rect[:, 0], rect[:, 1]
     rw = rect[:, 2] - x0
     rh = rect[:, 3] - y0
     area = rw * rh
-    inv = _depth_ranks(depth).astype(jnp.uint32)           # [N]
 
     # --- stream A: slots [0, S) for all N --------------------------------
     tile_a = _emit_tile_rows(x0, y0, rw, area, valid, s_slots, 0,
@@ -314,42 +319,38 @@ def _fused_bin_payload(packed, depth, rect, valid, tiles_x: int,
     sel_ok = jnp.arange(m_big, dtype=jnp.int32) < n_big
     area_b = area[big_idx]
     rw_b = jnp.maximum(rw[big_idx], 1)
-    packed_b = packed[big_idx]                             # [M, 10]
     tile_b = _emit_tile_rows(x0[big_idx], y0[big_idx], rw_b, area_b, sel_ok,
                              d_slots - s_slots, s_slots, tiles_x, num_tiles,
                              start_x=s_slots % rw_b, start_y=s_slots // rw_b)
 
-    # --- ONE sort over both streams, attributes as payload ---------------
+    # --- ONE 3-key sort over both streams ---------------------------------
+    # near-cull guarantees valid depths > 0, whose IEEE bits are monotone
+    # as uint32; invalid slots carry the sentinel tile and sort last anyway
+    dbits = jax.lax.bitcast_convert_type(depth, jnp.uint32)
+
     def flat(rows_a, rows_b):
         return jnp.concatenate([
             jnp.broadcast_to(rows_a[None, :], tile_a.shape).reshape(-1),
             jnp.broadcast_to(rows_b[None, :], tile_b.shape).reshape(-1)])
 
-    key = jnp.concatenate([
-        ((tile_a.astype(jnp.uint32) << rank_bits) | inv[None, :]).reshape(-1),
-        ((tile_b.astype(jnp.uint32) << rank_bits)
-         | inv[big_idx][None, :]).reshape(-1)])
-    idxp = flat(jnp.arange(n, dtype=jnp.int32), big_idx)
-    cols = tuple(flat(packed[:, c], packed_b[:, c]) for c in range(10))
-    out = jax.lax.sort((key, idxp) + cols, num_keys=1, is_stable=False)
-    key_s, idx_s, cols_s = out[0], out[1], out[2:]
+    tile_f = jnp.concatenate([tile_a.reshape(-1), tile_b.reshape(-1)])
+    key_t, _, idx_s = jax.lax.sort(
+        (tile_f, flat(dbits, dbits[big_idx]),
+         flat(jnp.arange(n, dtype=jnp.int32), big_idx)),
+        num_keys=3, is_stable=False)
 
-    tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits
-    bounds = jnp.searchsorted(key_s, tids, side="left").astype(jnp.int32)
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(key_t, tids, side="left").astype(jnp.int32)
     starts, counts_raw = bounds[:-1], bounds[1:] - bounds[:-1]
 
-    # --- contiguous per-tile recovery (one [Kp, 10] DMA per tile) --------
-    rows = jnp.concatenate([jnp.stack(cols_s, axis=-1),
-                            jnp.zeros((kp, 10), jnp.float32)])
-    idx_pad = jnp.concatenate([idx_s, jnp.full((kp,), n, jnp.int32)])
-    g = jax.vmap(lambda s: jax.lax.dynamic_slice(rows, (s, 0), (kp, 10))
-                 )(starts)                                 # [T, Kp, 10]
-    im = jax.vmap(lambda s: jax.lax.dynamic_slice(idx_pad, (s,), (kp,))
-                  )(starts)                                # [T, Kp]
+    # --- contiguous per-tile index recovery + the one row gather ----------
+    im = _row_gather(idx_s, starts, kp, jnp.int32(n))      # [T, Kp]
     counts = jnp.minimum(counts_raw, K)
     live = jnp.arange(kp, dtype=jnp.int32)[None, :] < counts[:, None]
-    g = jnp.where(live[..., None], g, 0.0)
     im = jnp.where(live, im, n)
+    packed_pad = jax.lax.optimization_barrier(
+        jnp.pad(packed, ((0, 1), (0, 0))))                 # sentinel row N
+    g = packed_pad[im]                                     # [T, Kp, 10]
 
     # --- diagnostics (exact, never silent) --------------------------------
     entries = jnp.sum(counts_raw)

