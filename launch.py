@@ -30,6 +30,13 @@ def main():
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--validate", action="store_true")
     parser.add_argument("--test", action="store_true")
+    parser.add_argument("--export", action="store_true",
+                        help="asset-export mode from a resumed ckpt "
+                             "(reference launch.py:298,319 trainer.predict; "
+                             "NB the reference's own predict_step is "
+                             "NotImplementedError, systems/base.py:151-152 "
+                             "— this implements the advertised capability: "
+                             "PLY + path video + renders per scene)")
     parser.add_argument("--use_ema", action="store_true",
                         help="use EMA weights for validate/test")
     parser.add_argument("--max_steps", type=int, default=None)
@@ -135,11 +142,19 @@ def main():
         print(f"Resumed from {cfg.resume} at step {int(state.step)}")
 
     if args.train:
-        train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main)
+        state = train(cfg, args, system, tx, state, dataset, mesh, ckpt,
+                      is_main)
+        if args.gradio:
+            # gradio mode also exports assets after training
+            # (reference launch.py:287-289)
+            export(cfg, args, system, state, dataset, mesh, is_main)
     elif args.validate or args.test:
         validate(cfg, args, system, state, dataset, mesh, is_main)
+    elif args.export:
+        export(cfg, args, system, state, dataset, mesh, is_main)
     else:
-        parser.error("one of --train / --validate / --test is required")
+        parser.error("one of --train / --validate / --test / --export "
+                     "is required")
 
 
 def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
@@ -217,19 +232,61 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
     # host-side step counter: fetching state.step every iteration would
     # force a device sync per step and serialize dispatch against compute
     step = int(state.step)
+    start_step = step
+    last_logged_step = step
+    # deterministic learning signal: every trainer.eval_every_n_steps, run
+    # the loss on a FIXED batch with FIXED rngs (same t + noise draws), so
+    # eval_psnr is a function of the parameters alone — the per-step train
+    # PSNR is one sample at a random diffusion timestep and cannot show a
+    # monotone curve (docs/CONVERGENCE.md)
+    eval_every = int(trainer_cfg.get("eval_every_n_steps", 0))
+    eval_fn, eval_batch = None, None
+    eval_csv = os.path.join(cfg.trial_dir, "eval_metrics.csv")
+
+    def run_eval():
+        m = {k: float(v) for k, v in eval_fn(state.params).items()}
+        if is_main:
+            print("eval step {}: {}".format(step, " ".join(
+                f"{k}={v:.4g}" for k, v in sorted(m.items()))), flush=True)
+            _append_csv(eval_csv, step, m)
+            if writer:
+                for k, v in m.items():
+                    writer.scalar(f"eval/{k}", v, step)
+        return m
+
     with mesh:
         for batch in loader:
             if step >= max_steps:
                 break
             device_batch = shard_batch(
                 mesh, {k: v for k, v in batch.items() if k not in drop})
+            if eval_every and eval_fn is None:
+                import jax.numpy as jnp
+                eval_batch = jax.tree.map(jnp.copy, device_batch)
+                keys = [jax.random.PRNGKey(10_000 + i) for i in range(4)]
+
+                def _eval(params):
+                    outs = [system.train_loss(params, eval_batch, k,
+                                              jnp.int32(10 ** 6))[1]
+                            for k in keys]
+                    return jax.tree.map(
+                        lambda *xs: jnp.mean(jnp.stack(
+                            [jnp.asarray(x, jnp.float32) for x in xs])),
+                        *outs)
+                eval_fn = jax.jit(_eval)
+                run_eval()
             state, metrics = step_fn(state, device_batch, rng)
             step += 1
-            if step % log_every == 0:
+            if eval_every and step % eval_every == 0:
+                run_eval()
+            # the `or` term guarantees a log line right after (re)start —
+            # resume evidence must not wait a full log_every window
+            if step % log_every == 0 or step == start_step + 1:
                 m = {k: float(v) for k, v in metrics.items()}  # syncs here
                 dt = time.time() - t0
                 t0 = time.time()
-                m["steps_per_sec"] = log_every / dt
+                m["steps_per_sec"] = (step - last_logged_step) / dt
+                last_logged_step = step
                 if is_main:
                     line = " ".join(f"{k}={v:.4g}" for k, v in
                                     sorted(m.items()))
@@ -261,6 +318,7 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
         wandb_run.finish()
     if is_main:
         print(f"training done at step {step}")
+    return state
 
 
 def validate(cfg, args, system, state, dataset, mesh, is_main):
@@ -366,6 +424,69 @@ def validate(cfg, args, system, state, dataset, mesh, is_main):
             json.dump(summary, f, indent=2)
         print(f"val PSNR {summary['psnr']:.3f} dB over "
               f"{summary['num_views']} views", flush=True)
+
+
+def export(cfg, args, system, state, dataset, mesh, is_main):
+    """Asset-export mode (reference launch.py:298,316-319: trainer.predict
+    over the datamodule from a resumed ckpt; its predict_step is
+    NotImplementedError in both shipped systems, systems/base.py:151-152 —
+    here the mode delivers the capability it advertises).
+
+    Per owned scene: sample -> renders grid PNG, Gaussians PLY, and a
+    slerp camera-path video through the scene's input poses
+    (utils/saving.py + systems/eval_utils.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_diffusiongs_tpu.data.loader import collate
+    from open_diffusiongs_tpu.ops.gaussians import NumpyGaussians
+    from open_diffusiongs_tpu.parallel.mesh import eval_shard_indices
+    from open_diffusiongs_tpu.systems import eval_utils
+    from open_diffusiongs_tpu.utils.saving import chw_to_hwc, save_image_grid
+
+    params = state.ema_params if (args.use_ema and
+                                  state.ema_params is not None) \
+        else state.params
+    step = int(state.step)
+    out_dir = os.path.join(cfg.trial_dir, "save", f"it{step}-export")
+    rng = jax.random.PRNGKey(cfg.seed + 3)
+    progress = ProgressFile(os.path.join(cfg.trial_dir, "progress")
+                            if (args.gradio and is_main) else None)
+    progress.write("Exporting assets ...")
+    owned = eval_shard_indices(len(dataset))
+    lim = cfg.trainer.get("limit_val_batches") if cfg.trainer else None
+    if lim is not None:
+        keep = (max(1, int(round(len(owned) * float(lim))))
+                if 0 < float(lim) < 1 else int(lim))
+        owned = owned[:keep]
+    sample_jit = None
+    for i, j in enumerate(owned):
+        batch = collate([dataset[j]])
+        cond = jnp.asarray(batch["rgbs_input"][:, :1])
+        c2w = jnp.asarray(batch["c2ws_input"])
+        fxy = jnp.asarray(batch["fxfycxcys_input"])
+        if sample_jit is None:
+            sample_jit = jax.jit(lambda p, c, cw, fx, r: system.sample(
+                p, c, cw, fx, r))
+        out = sample_jit(params, cond, c2w, fxy, jax.random.fold_in(rng, j))
+        renders = np.asarray(out["renders"])              # [1, v, 3, h, w]
+        uid = str(batch["uid"][0])
+        save_image_grid(os.path.join(out_dir, f"{uid}.png"),
+                        chw_to_hwc(renders[0]))
+        g = NumpyGaussians.from_device(
+            jax.tree.map(lambda x: x[0], out["gaussians"]))
+        eval_utils.save_scene_gaussians(
+            out_dir, uid, g,
+            keyframe_c2ws=np.asarray(batch["c2ws_input"][0]),
+            fxfycxcy=np.asarray(batch["fxfycxcys_input"][0]),
+            h=renders.shape[-2], w=renders.shape[-1],
+            raster_cfg=system.cfg.raster)
+        if is_main:
+            print(f"exported {uid} ({i + 1}/{len(owned)}) -> {out_dir}",
+                  flush=True)
+        progress.write(f"Exporting assets ... {i + 1}/{len(owned)}")
+    if is_main:
+        print(f"export done: {len(owned)} scenes in {out_dir}")
 
 
 class ProgressFile:

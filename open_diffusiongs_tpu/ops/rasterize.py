@@ -69,6 +69,20 @@ class RasterizeConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16
     max_per_tile: int = 1024   # docs/CAPACITY.md: measured accuracy vs K
     blend_chunk: int = 32
+    # Which D tiles survive when a rect covers more than D:
+    #   'center' (default) — shrink the rect proportionally AROUND the
+    #     Gaussian's center tile, so the kept window carries the bulk of the
+    #     2D-Gaussian mass (symmetric tail truncation; exact whenever
+    #     area <= D, i.e. always at trained statistics).
+    #   'first'  — keep the first D tiles in row-major rect order (the
+    #     pre-r5 behavior).  At init statistics rects cover ~100+ tiles and
+    #     this renders each Gaussian ONLY in the top rows of its footprint —
+    #     a geometric corruption that was the round-4 non-learning mechanism
+    #     (docs/CONVERGENCE.md): 73% of candidate-slot mass clipped into
+    #     asymmetric garbage and zero gradient over most of each footprint.
+    # The CUDA reference never drops (rasterizer_impl.cu:277-308); both
+    # modes count clipped slots in overflow_tiles.
+    rect_clip: str = "center"
     # --- split (two-stream) binning ---------------------------------------
     # The N*D key sort dominates binning, yet trained pixel-aligned models
     # have E[rect area] ~ 1-2 tiles, so most of the D=16 slots are sentinel
@@ -202,6 +216,44 @@ def _emit_tile_rows(x0, y0, rw, area, valid, n_slots: int, slot0: int,
         ox = jnp.where(wrap, 0, nx1)
         oy = oy + wrap.astype(oy.dtype)
     return jnp.stack(rows, axis=0).astype(jnp.int32)
+
+
+def _clip_rect_centered(pre: PreprocessedView, d_slots: int):
+    """Shrink every rect with area > D to a <=D-tile window centered on the
+    Gaussian's center tile (cfg.rect_clip='center').
+
+    Proportional shrink: s = sqrt(D/area) scales both dims, then the height
+    is adjusted so cw*ch <= D exactly.  The window is re-centered on the
+    tile containing the projected mean and clamped inside the original
+    rect, so the kept tiles carry the peak of the 2D Gaussian — the dropped
+    tail beyond ~the window edge is the same KIND of truncation as the
+    rasterizer's own 3-sigma radius cutoff, just tighter.  Rects with
+    area <= D pass through untouched (bit-exact at trained statistics).
+
+    Returns (pre with clipped rects, clipped_slots [] int32 — the slot mass
+    removed, reported via overflow_tiles so the cap is never silent)."""
+    rect = pre.rect
+    x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    rw = x1 - x0
+    rh = y1 - y0
+    area = rw * rh
+    over = pre.valid & (area > d_slots)
+    s = jnp.sqrt(d_slots / jnp.maximum(area, 1).astype(jnp.float32))
+    cw = jnp.clip((rw.astype(jnp.float32) * s).astype(jnp.int32),
+                  1, jnp.minimum(rw, d_slots))
+    ch = jnp.clip((rh.astype(jnp.float32) * s).astype(jnp.int32), 1, rh)
+    ch = jnp.clip(jnp.minimum(ch, d_slots // cw), 1, rh)
+    # center tile of the projected mean, clamped into the rect
+    ctx = jnp.clip(jnp.floor(pre.xy[:, 0] / TILE).astype(jnp.int32),
+                   x0, x1 - 1)
+    cty = jnp.clip(jnp.floor(pre.xy[:, 1] / TILE).astype(jnp.int32),
+                   y0, y1 - 1)
+    nx0 = jnp.clip(ctx - cw // 2, x0, x1 - cw)
+    ny0 = jnp.clip(cty - ch // 2, y0, y1 - ch)
+    new_rect = jnp.stack([nx0, ny0, nx0 + cw, ny0 + ch], axis=-1)
+    rect = jnp.where(over[:, None], new_rect, rect)
+    clipped = jnp.sum(jnp.where(over, area - cw * ch, 0))
+    return pre._replace(rect=rect), clipped
 
 
 def _row_gather(arr: jnp.ndarray, starts: jnp.ndarray, cap: int, pad_val
@@ -396,12 +448,12 @@ def fused_bin(packed, pre: PreprocessedView, tiles_x: int, tiles_y: int,
     """
     n = pre.depth.shape[0]
     d_slots = cfg.max_tiles_per_gaussian
-    num_tiles = tiles_x * tiles_y
-    rank_bits = max(1, (n - 1).bit_length())               # depth rank < n
-    tile_bits = (num_tiles + 1 - 1).bit_length()           # incl. sentinel
     packed = jax.lax.stop_gradient(packed)
     pre = jax.tree.map(jax.lax.stop_gradient, pre)
-    if (0 < cfg.split_slots < d_slots) and rank_bits + tile_bits <= 32:
+    # NB: no 32-bit key-packing constraint here — the payload path's 3-key
+    # sort carries (tile, depth-bits, idx) as separate operands; only
+    # _bin_tiles_single's packed-key fast path checks bit budgets.
+    if 0 < cfg.split_slots < d_slots:
         x0t, y0t = pre.rect[:, 0], pre.rect[:, 1]
         area_t = (pre.rect[:, 2] - x0t) * (pre.rect[:, 3] - y0t)
         n_big = jnp.sum((pre.valid & (area_t > cfg.split_slots))
@@ -440,8 +492,9 @@ def _make_attach(n: int):
 
     def bwd(idxm, dg):
         import numpy as _np
-        d_packed = jnp.zeros((n + 1, 10), jnp.float32).at[
-            idxm.reshape(-1)].add(dg.reshape(-1, 10))[:n]
+        w = dg.shape[-1]
+        d_packed = jnp.zeros((n + 1, w), dg.dtype).at[
+            idxm.reshape(-1)].add(dg.reshape(-1, w))[:n]
         return (d_packed, jnp.zeros_like(dg),
                 _np.zeros(idxm.shape, jax.dtypes.float0))
 
@@ -450,7 +503,12 @@ def _make_attach(n: int):
 
 
 def attach_rows(packed, g0, idxm):
-    """g = packed rows in per-tile order (value: `g0`; gradient: scatter)."""
+    """g = packed rows in per-tile order (value: `g0`; gradient: scatter).
+
+    INVARIANT: `g0` must be gradient-free (every caller materializes it
+    under stop_gradient via `fused_bin`) — its cotangent is discarded and
+    the full gradient is scattered onto `packed` through `idxm`.  A caller
+    passing a differentiable g0 would silently lose that gradient path."""
     return _make_attach(packed.shape[0])(packed, g0, idxm)
 
 
@@ -813,10 +871,16 @@ def rasterize_single_view(act: ActivatedGaussians, cov3d: jnp.ndarray,
     # paths' different fusion contexts round pre/packed differently —
     # breaking the payload-vs-gather bit-exactness guarantee.
     pre = jax.lax.optimization_barrier(pre)
+    if cfg.rect_clip == "center":
+        pre, clipped_slots = _clip_rect_centered(
+            pre, cfg.max_tiles_per_gaussian)
+    else:
+        clipped_slots = jnp.zeros((), jnp.int32)
     packed = jnp.concatenate(
         [pre.xy, pre.conic, pre.color, pre.opacity[:, None],
          pre.depth[:, None]], axis=-1)                      # [N, 10]
     fb = fused_bin(packed, pre, tiles_x, tiles_y, cfg)
+    fb = fb._replace(overflow_tiles=fb.overflow_tiles + clipped_slots)
     # name the bin outputs so the remat policy in render() keeps them as
     # residuals — backward then skips the re-sort (and, on the payload
     # path, never materializes a gather at all: attach_rows' bwd scatters

@@ -358,3 +358,65 @@ def test_pallas_blend_edge_cases(rng):
                          cfg=CFG._replace(pallas_blend="off"))
     np.testing.assert_allclose(np.asarray(out1["render"]),
                                np.asarray(out1_ref["render"]), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# rect_clip='center' (the r5 training-mode D policy; docs/CONVERGENCE.md)
+# ---------------------------------------------------------------------------
+
+def test_rect_clip_center_exact_when_under_d(rng):
+    """No rect over D => 'center' and 'first' are bit-identical (the clip
+    only rewrites rects whose area exceeds max_tiles_per_gaussian)."""
+    g, c2w, fxy = _scene(rng)
+    out_c = rz.render(g, c2w, fxy, H, W, cfg=CFG._replace(rect_clip="center"))
+    out_f = rz.render(g, c2w, fxy, H, W, cfg=CFG._replace(rect_clip="first"))
+    assert int(out_c["overflow_tiles"]) == 0
+    np.testing.assert_array_equal(np.asarray(out_c["render"]),
+                                  np.asarray(out_f["render"]))
+
+
+def test_rect_clip_center_beats_first_over_d(rng):
+    """Init-statistics population (big screen footprints, rects >> D):
+    keeping a centered window must be far closer to the exact no-clip
+    render than keeping the first D row-major tiles (the r4 behavior that
+    rendered each Gaussian only in the top rows of its footprint)."""
+    g = random_gaussians(rng, 1, 96, scale_mean=-1.2)  # huge footprints
+    c2ws, fxy = orbit_cameras(2, h=H, w=W)
+    c2w = jnp.asarray(c2ws)[None]
+    fxy = jnp.asarray(fxy)[None]
+    exact = rz.render(g, c2w, fxy, H, W,
+                      cfg=rz.RasterizeConfig(max_tiles_per_gaussian=16,
+                                             max_per_tile=128,
+                                             rect_clip="center"))
+    # H=W=64 -> 16 tiles total, so D=16 cannot clip: exact baseline
+    assert int(exact["overflow_tiles"]) == 0
+
+    def psnr_vs_exact(mode):
+        out = rz.render(g, c2w, fxy, H, W,
+                        cfg=rz.RasterizeConfig(max_tiles_per_gaussian=4,
+                                               max_per_tile=128,
+                                               rect_clip=mode))
+        assert int(out["overflow_tiles"]) > 0  # the clip is exercised
+        mse = float(jnp.mean((out["render"] - exact["render"]) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    p_center, p_first = psnr_vs_exact("center"), psnr_vs_exact("first")
+    assert p_center > p_first + 3.0, (p_center, p_first)
+
+
+def test_rect_clip_center_grads_flow(rng):
+    """Gradients flow through the centered-clip path (the clip itself is
+    gradient-free index work; attributes keep their VJP)."""
+    g = random_gaussians(rng, 1, 64, scale_mean=-1.4)
+    c2ws, fxy = orbit_cameras(1, h=H, w=W)
+    c2w, fxy = jnp.asarray(c2ws)[None], jnp.asarray(fxy)[None]
+    cfg = rz.RasterizeConfig(max_tiles_per_gaussian=4, max_per_tile=128,
+                             rect_clip="center")
+
+    def loss(xyz):
+        out = rz.render(g._replace(xyz=xyz), c2w, fxy, H, W, cfg=cfg)
+        return jnp.mean(out["render"] ** 2)
+
+    grad = jax.grad(loss)(jnp.asarray(g.xyz))
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).max()) > 0.0

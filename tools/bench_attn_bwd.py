@@ -89,7 +89,9 @@ def main():
         bwd_kw["vmem_limit_mb"] = args.vmem
     results = {"l": l, "lp": lp, "fwd_blocks": fwd_blocks,
                "bwd_blocks": bwd_blocks, "gc": args.gc or 128,
-               "vmem_mb": args.vmem or 64}
+               # flash_mha_packed_bwd's actual default scope is 100 MiB
+               # (ops/attention.py: vmem_limit_mb or 100)
+               "vmem_mb": args.vmem or 100}
 
     def rec(name, t, flops=None):
         results[name] = {"ms": round(t * 1e3, 2)}
