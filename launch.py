@@ -244,7 +244,8 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
     eval_csv = os.path.join(cfg.trial_dir, "eval_metrics.csv")
 
     def run_eval():
-        m = {k: float(v) for k, v in eval_fn(state.params).items()}
+        m = {k: float(v) for k, v in eval_fn(state.params,
+                                             eval_batch).items()}
         if is_main:
             print("eval step {}: {}".format(step, " ".join(
                 f"{k}={v:.4g}" for k, v in sorted(m.items()))), flush=True)
@@ -265,8 +266,11 @@ def train(cfg, args, system, tx, state, dataset, mesh, ckpt, is_main):
                 eval_batch = jax.tree.map(jnp.copy, device_batch)
                 keys = [jax.random.PRNGKey(10_000 + i) for i in range(4)]
 
-                def _eval(params):
-                    outs = [system.train_loss(params, eval_batch, k,
+                # batch passed as a jit ARGUMENT — closing over device
+                # arrays embeds them as MLIR constants, fetched value-by-
+                # value through the axon relay at compile time
+                def _eval(params, eb):
+                    outs = [system.train_loss(params, eb, k,
                                               jnp.int32(10 ** 6))[1]
                             for k in keys]
                     return jax.tree.map(

@@ -110,8 +110,8 @@ def main():
     eval_keys = [jax.random.PRNGKey(10_000 + i) for i in range(4)]
 
     @jax.jit
-    def eval_fn(params):
-        outs = [system.train_loss(params, eval_batch, k, jnp.int32(10**6))[1]
+    def eval_fn(params, eb):
+        outs = [system.train_loss(params, eb, k, jnp.int32(10**6))[1]
                 for k in eval_keys]
         return jax.tree.map(lambda *xs: jnp.mean(jnp.stack(
             [jnp.asarray(x, jnp.float32) for x in xs])), *outs)
@@ -128,7 +128,8 @@ def main():
     t0 = time.time()
     for step in range(args.steps + 1):
         if step % args.eval_every == 0:
-            ev = {k: float(v) for k, v in eval_fn(state.params).items()}
+            ev = {k: float(v) for k, v in eval_fn(state.params,
+                                      eval_batch).items()}
             rec = {"step": step, "wall_s": round(time.time() - t0, 1),
                    **{f"eval_{k}": round(v, 5) for k, v in ev.items()}}
             print(json.dumps(rec), flush=True)
