@@ -40,7 +40,19 @@ BASELINE_256_S = 6.0    # README.md:39 (paper claim, 1 GPU)
 BASELINE_512_S = 24.0   # README.md:74 (open-source 512 model)
 
 
-def _make_system(h, w, steps=30, remat=False, scene=False, quant=False):
+def _trained_stat_offsets(res):
+    """Raw-head offsets that place the random-weights model's emitted
+    population at the measured trained-checkpoint statistics
+    (docs/CAPACITY.md; tools/bench_raster.py::synth_gaussians "trained"):
+    screen-space size ~1.5 px at the orbit camera (depth ~3, fov 40deg)
+    and opacity ~ sigmoid(1.0).  The head raw outputs are ~N(0, 0.1) at
+    init, so an additive offset IS the population mean."""
+    f = 0.5 * res / np.tan(np.radians(40.0) / 2)
+    return float(np.log(1.5 * 3.0 / f) + 2.3), 3.0
+
+
+def _make_system(h, w, steps=30, remat=False, scene=False, quant=False,
+                 trained_stats=False):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
     from open_diffusiongs_tpu.systems.object_system import ObjectSystemConfig
     from open_diffusiongs_tpu.systems.scene_system import (
@@ -49,6 +61,16 @@ def _make_system(h, w, steps=30, remat=False, scene=False, quant=False):
     model = dict(width=1024, num_layers=24, patch_size=8,
                  dim_heads=64, dtype=jnp.bfloat16, remat=remat,
                  quant_int8=quant)
+    raster_kw = {}
+    if trained_stats:
+        # The reference's 24 s claim (README.md:74) is a TRAINED-model
+        # measurement; random init weights give the rasterizer its worst
+        # case (~100-tile footprints).  Place the emitted population at
+        # trained statistics and ride the shipped eval-config rasterizer
+        # (split_slots=2, configs/diffusionGS_scene_eval*.yaml).
+        ds, do = _trained_stat_offsets(h)
+        model.update(gs_raw_offset_scaling=ds, gs_raw_offset_opacity=do)
+        raster_kw["split_slots"] = 2
     if remat and os.environ.get("BENCH_SAVE_ATTN", "1") != "0":
         # attention-residual remat policy: OOM'd on v5e-16GB in round 2,
         # fits since the analytic Pallas blend backward freed the HBM —
@@ -62,7 +84,8 @@ def _make_system(h, w, steps=30, remat=False, scene=False, quant=False):
         return SceneSystem(SceneSystemConfig(
             num_inference_steps=steps, shape_model=model,
             raster=RasterizeConfig(max_tiles_per_gaussian=16,
-                                   max_per_tile=1024, blend_chunk=32),
+                                   max_per_tile=1024, blend_chunk=32,
+                                   **raster_kw),
             use_lpips=False))
     return ObjectSystem(ObjectSystemConfig(
         num_inference_steps=steps,
@@ -70,16 +93,18 @@ def _make_system(h, w, steps=30, remat=False, scene=False, quant=False):
         # K=1024: the lossless-in-practice capacity for 4-view pixel-aligned
         # models (docs/CAPACITY.md) — the bench renders what CUDA renders
         raster=RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=1024,
-                               blend_chunk=32),
+                               blend_chunk=32, **raster_kw),
         use_lpips=False,
     ))
 
 
-def bench_sample(h, w, n_views=4, steps=30, scene=False, quant=False):
+def bench_sample(h, w, n_views=4, steps=30, scene=False, quant=False,
+                 trained_stats=False):
     """Returns (best_seconds, compile_seconds)."""
     from __graft_entry__ import _orbit_cameras
 
-    system = _make_system(h, w, steps, scene=scene, quant=quant)
+    system = _make_system(h, w, steps, scene=scene, quant=quant,
+                          trained_stats=trained_stats)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
     cond = jnp.asarray(
@@ -290,6 +315,21 @@ def main():
         except Exception as ex:  # noqa: BLE001 — keep the primary metric
             out["error_512"] = str(ex)[:200]
 
+        try:
+            # Same pipeline with the emitted population at TRAINED
+            # statistics (what any real checkpoint produces — the 24 s
+            # reference claim is a trained-model number) and the shipped
+            # eval rasterizer config (split_slots=2).  The plain 512
+            # number above keeps the conservative init-stats definition.
+            b512t, c512t = bench_sample(512, 512, n_views, steps,
+                                        trained_stats=True)
+            out["image_to_3d_seconds_512_trainedstats"] = round(b512t, 3)
+            out["vs_baseline_512_trainedstats"] = round(
+                b512t / BASELINE_512_S, 3)
+            out["compile_512_trainedstats_s"] = round(c512t, 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_512_trained"] = str(ex)[:200]
+
     print(json.dumps(out), flush=True)
 
     if h == 256 and not os.environ.get("BENCH_SKIP_SCENE"):
@@ -343,6 +383,16 @@ def main():
         except Exception as ex:  # noqa: BLE001
             out["error_scene_train"] = str(ex)[:160]
 
+        try:  # the REAL object recipe renders 10 supervision views
+            # (4 gen + 6 sel, configs/diffusionGS_rel.yaml:13-14) — this is
+            # the number an at-scale run's steps_per_sec must be judged
+            # against, not the 4-view variant above
+            ms10, sps10, _ = bench_train_step(h, w, sup_views=10, iters=4)
+            out["train_step_ms_b1_10v"] = round(ms10, 1)
+            out["train_10v_samples_per_sec_chip"] = round(sps10, 3)
+        except Exception as ex:  # noqa: BLE001
+            out["error_train_10v"] = str(ex)[:160]
+
     print(json.dumps(out), flush=True)
 
     if h == 256 and not os.environ.get("BENCH_SKIP_SCENE512"):
@@ -382,6 +432,13 @@ def main():
                 _int8_fidelity_psnr(h, w, n_views, steps), 1)
         except Exception as ex:  # noqa: BLE001
             out["error_int8"] = str(ex)[:200]
+
+        try:  # best serving config: trained stats + split2 + int8 dense
+            b8t, _ = bench_sample(512, 512, n_views, steps, quant=True,
+                                  trained_stats=True)
+            out["image_to_3d_seconds_512_serving"] = round(b8t, 3)
+        except Exception as ex:  # noqa: BLE001
+            out["error_int8_trained"] = str(ex)[:200]
 
     print(json.dumps(out))
 

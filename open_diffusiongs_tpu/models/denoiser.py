@@ -95,6 +95,15 @@ class DGSDenoiser(nn.Module):
     # Serving-mode W8A8 int8 DiT projections (ops/quant.py) — inference
     # only; checkpoints are unchanged (same param tree).
     quant_int8: bool = False
+    # Diagnostic/bench knobs: additive offsets on the RAW head outputs of
+    # the scaling / opacity channels (before the to_gs activations).  The
+    # head linears carry no bias (matching the reference heads), so this is
+    # the only way to place a random-weights model's emitted population at
+    # the measured trained-checkpoint statistics (docs/CAPACITY.md) — used
+    # by bench.py's trained-stats sampler and by capacity diagnostics.
+    # Zero = off (the default); the param tree is unchanged either way.
+    gs_raw_offset_scaling: float = 0.0
+    gs_raw_offset_opacity: float = 0.0
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, ray_o: jnp.ndarray,
@@ -176,8 +185,9 @@ class DGSDenoiser(nn.Module):
         xyz, feats, scaling, rotation, opacity = jnp.split(
             all_gs, [3, 3 + sh_dim, 6 + sh_dim, 10 + sh_dim], axis=2)
         feats = feats.reshape(b, feats.shape[1], -1, 3)
-        scaling = jnp.minimum(scaling - 2.3, -1.2)
-        opacity = opacity - 2.0
+        scaling = jnp.minimum(scaling + self.gs_raw_offset_scaling - 2.3,
+                              -1.2)
+        opacity = opacity + self.gs_raw_offset_opacity - 2.0
 
         # Hard pixel alignment (denoiser.py:382-405 / denoiser_scene.py:404-419)
         pix_xyz = rearrange(xyz[:, -n_pix:],

@@ -179,3 +179,27 @@ def test_param_count_full_size():
                    for x in jax.tree.leaves(shapes))
     # 24 layers x (qkv 3d^2 + proj d^2 + mlp 8d^2 + adaLN 6d^2) ~= 18d^2 x 24
     assert 400e6 < n_params < 500e6
+
+
+def test_gs_raw_offsets_shift_population(rng):
+    """The trained-stats bench knob (gs_raw_offset_*): additive shifts on
+    the raw head outputs move the emitted scaling/opacity means by exactly
+    the offset (modulo the -1.2 scaling clamp), identical params either
+    way, and zero offsets are a no-op."""
+    images, ray_o, ray_d, t = _inputs(rng)
+    m0 = _model()
+    params = m0.init(jax.random.PRNGKey(0), images, ray_o, ray_d, t)
+    g0, _ = m0.apply(params, images, ray_o, ray_d, t)
+    mz = _model(gs_raw_offset_scaling=0.0, gs_raw_offset_opacity=0.0)
+    gz, _ = mz.apply(params, images, ray_o, ray_d, t)
+    np.testing.assert_array_equal(np.asarray(g0.scaling),
+                                  np.asarray(gz.scaling))
+    m1 = _model(gs_raw_offset_scaling=-2.75, gs_raw_offset_opacity=3.0)
+    g1, _ = m1.apply(params, images, ray_o, ray_d, t)
+    # scaling: far below the clamp, so an exact shift
+    np.testing.assert_allclose(np.asarray(g1.scaling),
+                               np.asarray(g0.scaling) - 2.75, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1.opacity),
+                               np.asarray(g0.opacity) + 3.0, atol=1e-5)
+    # xyz / rotation / features untouched
+    np.testing.assert_array_equal(np.asarray(g0.xyz), np.asarray(g1.xyz))
