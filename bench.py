@@ -52,7 +52,7 @@ def _trained_stat_offsets(res):
 
 
 def _make_system(h, w, steps=30, remat=False, scene=False, quant=False,
-                 trained_stats=False):
+                 trained_stats=False, split=False):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
     from open_diffusiongs_tpu.systems.object_system import ObjectSystemConfig
     from open_diffusiongs_tpu.systems.scene_system import (
@@ -70,6 +70,9 @@ def _make_system(h, w, steps=30, remat=False, scene=False, quant=False,
         # (split_slots=2, configs/diffusionGS_scene_eval*.yaml).
         ds, do = _trained_stat_offsets(h)
         model.update(gs_raw_offset_scaling=ds, gs_raw_offset_opacity=do)
+    if trained_stats or split:
+        # the shipped configs all run split_slots=2 now (train configs
+        # since r5 — the adaptive guard rides the exact path at init stats)
         raster_kw["split_slots"] = 2
     if remat and os.environ.get("BENCH_SAVE_ATTN", "1") != "0":
         # attention-residual remat policy: OOM'd on v5e-16GB in round 2,
@@ -132,7 +135,7 @@ def bench_sample(h, w, n_views=4, steps=30, scene=False, quant=False,
 
 
 def bench_train_step(h, w, n_views=4, sup_views=4, iters=8, b=1,
-                     scene=False):
+                     scene=False, trained_stats=False):
     """One-chip training throughput (the per-chip unit of the reference's
     4/GPU x 8 GPU object recipe, configs/diffusionGS_rel.yaml:14, and the
     12/GPU scene recipe, diffusionGS_scene_512.yaml:16).
@@ -144,7 +147,10 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8, b=1,
     # remat=True: training without activation rematerialization OOMs at
     # 24 layers (the reference trains with gradient checkpointing too,
     # configs/diffusionGS_rel.yaml gradient_checkpointing)
-    system = _make_system(h, w, remat=True, scene=scene)
+    # split=True: match the shipped train configs (raster.split_slots: 2,
+    # configs/diffusionGS_rel.yaml:59 — enabled for training in r5)
+    system = _make_system(h, w, remat=True, scene=scene, split=True,
+                          trained_stats=trained_stats)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     tx = make_optimizer(OptimizerConfig(lr=1e-5))
     state = init_train_state(params, tx, ema_decay=0.9999)
@@ -363,6 +369,13 @@ def main():
             out["train_mfu_pct_dit_only"] = round(mfu, 1)
         except Exception as ex:  # noqa: BLE001
             out["error_train"] = str(ex)[:200]
+
+        try:  # steady-state trained-regime step (population at trained
+            # stats — what a real run converges to; docs/CAPACITY.md)
+            mst, _, _ = bench_train_step(h, w, trained_stats=True, iters=4)
+            out["train_step_ms_b1_trainedstats"] = round(mst, 1)
+        except Exception as ex:  # noqa: BLE001
+            out["error_train_trained"] = str(ex)[:160]
         print(json.dumps(out), flush=True)
 
         # capacity: does b=2 fit one v5e-16GB chip? (reference object recipe
