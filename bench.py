@@ -52,7 +52,7 @@ def _trained_stat_offsets(res):
 
 
 def _make_system(h, w, steps=30, remat=False, scene=False, quant=False,
-                 trained_stats=False, split=False):
+                 trained_stats=False, split=None):
     from open_diffusiongs_tpu.ops.rasterize import RasterizeConfig
     from open_diffusiongs_tpu.systems.object_system import ObjectSystemConfig
     from open_diffusiongs_tpu.systems.scene_system import (
@@ -70,9 +70,17 @@ def _make_system(h, w, steps=30, remat=False, scene=False, quant=False,
         # (split_slots=2, configs/diffusionGS_scene_eval*.yaml).
         ds, do = _trained_stat_offsets(h)
         model.update(gs_raw_offset_scaling=ds, gs_raw_offset_opacity=do)
-    if trained_stats or split:
-        # the shipped configs all run split_slots=2 now (train configs
-        # since r5 — the adaptive guard rides the exact path at init stats)
+    # split=None -> the shipped per-resolution policy (PERF_NOTES r5):
+    # split_slots=2 at 256^2 (measured end-to-end win: train 10v 459.2 vs
+    # 465.9 ms, sampler 2.463 vs 2.504 s, tools/diag_split_train.py) and
+    # single-stream at 512^2, where the adaptive split-binning lax.cond
+    # costs ~+15 ms/view inside the jitted 30-step sampler for BOTH
+    # populations (init 18.10 vs 19.52 s, trained 18.36 vs 19.81 s —
+    # tools/diag_512_split.py), the opposite sign of the bare-render
+    # microbench.  split=True/False forces the cond on/off for A/Bs.
+    if split is None:
+        split = h <= 256
+    if split:
         raster_kw["split_slots"] = 2
     if remat and os.environ.get("BENCH_SAVE_ATTN", "1") != "0":
         # attention-residual remat policy: OOM'd on v5e-16GB in round 2,
@@ -102,12 +110,18 @@ def _make_system(h, w, steps=30, remat=False, scene=False, quant=False,
 
 
 def bench_sample(h, w, n_views=4, steps=30, scene=False, quant=False,
-                 trained_stats=False):
-    """Returns (best_seconds, compile_seconds)."""
+                 trained_stats=False, split=None):
+    """Returns (best_seconds, compile_seconds).
+
+    split=None follows the shipped per-resolution policy (2 at 256^2,
+    single-stream at 512^2 — docs/PERF_NOTES.md r5); True/False forces
+    the split-stream binning cond on/off for A/Bs
+    (tools/diag_512_split.py, tools/diag_split_train.py)."""
     from __graft_entry__ import _orbit_cameras
 
+    kw = {} if split is None else {"split": split}
     system = _make_system(h, w, steps, scene=scene, quant=quant,
-                          trained_stats=trained_stats)
+                          trained_stats=trained_stats, **kw)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     c2ws, fxy = _orbit_cameras(n_views, h=h, w=w)
     cond = jnp.asarray(
@@ -135,7 +149,7 @@ def bench_sample(h, w, n_views=4, steps=30, scene=False, quant=False,
 
 
 def bench_train_step(h, w, n_views=4, sup_views=4, iters=8, b=1,
-                     scene=False, trained_stats=False):
+                     scene=False, trained_stats=False, split=None):
     """One-chip training throughput (the per-chip unit of the reference's
     4/GPU x 8 GPU object recipe, configs/diffusionGS_rel.yaml:14, and the
     12/GPU scene recipe, diffusionGS_scene_512.yaml:16).
@@ -147,9 +161,9 @@ def bench_train_step(h, w, n_views=4, sup_views=4, iters=8, b=1,
     # remat=True: training without activation rematerialization OOMs at
     # 24 layers (the reference trains with gradient checkpointing too,
     # configs/diffusionGS_rel.yaml gradient_checkpointing)
-    # split=True: match the shipped train configs (raster.split_slots: 2,
-    # configs/diffusionGS_rel.yaml:59 — enabled for training in r5)
-    system = _make_system(h, w, remat=True, scene=scene, split=True,
+    # split mirrors the shipped train configs (see raster.split_slots in
+    # configs/diffusionGS_rel.yaml; tools/diag_split_train.py A/Bs it)
+    system = _make_system(h, w, remat=True, scene=scene, split=split,
                           trained_stats=trained_stats)
     params = system.init_params(jax.random.PRNGKey(0), h, w, v=n_views)
     tx = make_optimizer(OptimizerConfig(lr=1e-5))
@@ -325,8 +339,8 @@ def main():
             # Same pipeline with the emitted population at TRAINED
             # statistics (what any real checkpoint produces — the 24 s
             # reference claim is a trained-model number) and the shipped
-            # eval rasterizer config (split_slots=2).  The plain 512
-            # number above keeps the conservative init-stats definition.
+            # 512 rasterizer config (single-stream, PERF_NOTES r5).  The
+            # plain 512 number keeps the conservative init-stats setup.
             b512t, c512t = bench_sample(512, 512, n_views, steps,
                                         trained_stats=True)
             out["image_to_3d_seconds_512_trainedstats"] = round(b512t, 3)
@@ -446,7 +460,7 @@ def main():
         except Exception as ex:  # noqa: BLE001
             out["error_int8"] = str(ex)[:200]
 
-        try:  # best serving config: trained stats + split2 + int8 dense
+        try:  # best serving config: trained stats + int8 dense matmuls
             b8t, _ = bench_sample(512, 512, n_views, steps, quant=True,
                                   trained_stats=True)
             out["image_to_3d_seconds_512_serving"] = round(b8t, 3)
