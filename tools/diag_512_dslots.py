@@ -70,10 +70,19 @@ def main() -> None:
     cond = jnp.asarray(
         np.random.default_rng(0).uniform(size=(1, 1, 3, h, w)), jnp.float32)
 
+    from open_diffusiongs_tpu.ops import rasterize as rz
+
+    def psnr(a, b):
+        mse = float(np.mean((np.asarray(a, np.float32)
+                             - np.asarray(b, np.float32)) ** 2))
+        return round(-10 * np.log10(mse), 1) if mse > 0 else float("inf")
+
     pops = {"trained": [True], "init": [False], "both": [True, False]}
     out = {}
     for trained in pops[args.pop]:
-        base_render = None
+        base_render = None     # end-of-trajectory renders (divergence proxy)
+        base_gauss = None      # first-D's final Gaussians (fidelity input)
+        base_bare = None       # those Gaussians rendered at the first D
         for d_slots in [int(x) for x in args.dslots.split(",")]:
             system = build(trained, d_slots)
             params = system.init_params(jax.random.PRNGKey(0), h, w,
@@ -82,24 +91,40 @@ def main() -> None:
                 p, c, c2w, fxyn, rng))
 
             def run(key, fn=sample, p=params, c=cond):
-                return np.asarray(fn(p, c, key)["renders"])
+                r = fn(p, c, key)
+                # host round-trip: handing a sampler-output device pytree
+                # straight into a fresh jit compile has crashed the
+                # remote-chip relay (read-body mid-compile); numpy in
+                # between makes the bare-render call self-contained
+                return (np.asarray(r["renders"]),
+                        jax.tree.map(np.asarray, r["gaussians"]))
 
             t0 = time.time()
-            img = run(jax.random.PRNGKey(1))
+            img, gauss = run(jax.random.PRNGKey(1))
             compile_s = time.time() - t0
             times = []
             for i in range(3):
                 t0 = time.time()
-                img = run(jax.random.PRNGKey(2))  # same seed for fidelity
+                img, gauss = run(jax.random.PRNGKey(2))  # same seed
                 times.append(time.time() - t0)
             key = ("trained" if trained else "init") + f"/D{d_slots}"
             rec = {"s": round(min(times), 3), "compile_s": round(compile_s, 1)}
+            # Per-render fidelity: the FIRST D's final Gaussians rendered
+            # under this D vs under the first D — isolates the single-render
+            # error from the 30-step trajectory feedback divergence.
+            rcfg = system.cfg.raster._replace(early_exit=True, remat=False)
+            bare = jax.jit(lambda g: rz.render(
+                g, jnp.asarray(c2w), jnp.asarray(fxyn), h, w, cfg=rcfg))
             if base_render is None:
-                base_render = img
+                base_render, base_gauss = img, gauss
+                bb = bare(base_gauss)
+                base_bare = np.asarray(bb["render"])
+                rec["overflow_tiles"] = int(bb["overflow_tiles"])
             else:
-                mse = float(np.mean((img - base_render) ** 2))
-                rec["psnr_vs_D16"] = (round(-10 * np.log10(max(mse, 1e-12)),
-                                            1) if mse > 0 else float("inf"))
+                rec["traj_psnr_vs_first"] = psnr(img, base_render)
+                bb = bare(base_gauss)
+                rec["render_psnr_vs_first"] = psnr(bb["render"], base_bare)
+                rec["overflow_tiles"] = int(bb["overflow_tiles"])
             out[key] = rec
             print(json.dumps({key: rec}), flush=True)
 
